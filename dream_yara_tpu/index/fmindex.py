@@ -1,0 +1,144 @@
+"""FM-index over one bin's concatenated contig text.
+
+Analog of reference SeqAn FMIndex with YaraFMConfig (SURVEY.md §2.4 [U]):
+2-bit-packed rank dictionary + sampled SA in the reference. TPU-first layout
+here (designed for batched gathers, the device-side hot loop in
+ops/backward_search.py):
+
+  * BWT stored as dense int8 *blocks* of BLOCK=128 chars: shape
+    (n_blocks, 128). A rank query gathers exactly one row (128 B) — the
+    natural TPU lane width and within one HBM transaction.
+  * Occ checkpoints every BLOCK chars: int32 (n_blocks+1, SIGMA).
+    rank_c(i) = occ[i>>7, c] + popcount(bwt_block[i>>7][0 : i&127] == c).
+  * C table: int32 (SIGMA+1,) cumulative symbol counts of the text.
+  * SA: int32. sample_rate=1 stores the full SA (locate = one gather —
+    speed-of-light; the default while a bin fits HBM). sample_rate=s>1 stores
+    SA values at text positions divisible by s plus a marked-row bitmap;
+    locate walks <=s-1 LF steps (fixed-trip-count on device).
+
+The FM text alphabet is SIGMA=6 (A,C,G,T,N,$): N is a literal 6th symbol (a
+seed containing N only matches text N; verification later re-scores N as
+mismatching everything, see docs/OUTPUT_CONTRACT.md), and $ (SENTINEL)
+separates contigs so matches cannot span contig boundaries.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..utils.alphabet import SIGMA
+from .suffix_array import build_suffix_array
+
+BLOCK = 128
+BWT_PAD = 7  # padding code in the last BWT block; != any real symbol
+
+
+@dataclass
+class FMIndex:
+    n: int                     # text length
+    bwt_blocks: np.ndarray     # (n_blocks, BLOCK) int8, padded with BWT_PAD
+    occ: np.ndarray            # (n_blocks + 1, SIGMA) int32 checkpoint counts
+    counts: np.ndarray         # (SIGMA + 1,) int32 cumulative C table
+    sa: np.ndarray             # full SA (sample_rate=1) or sampled values
+    sample_rate: int = 1
+    sa_marked: np.ndarray | None = None  # (n,) uint8 bitmap-ish mark per SA row (sampled mode)
+    sa_rank: np.ndarray | None = None    # (n_blocks+1,) int32 prefix counts of marks (sampled mode)
+
+    @classmethod
+    def build(cls, text: np.ndarray, sample_rate: int = 1,
+              sa: np.ndarray | None = None) -> "FMIndex":
+        text = np.asarray(text, dtype=np.int8)
+        n = len(text)
+        if sa is None:
+            sa = build_suffix_array(text)
+        sa = np.asarray(sa, dtype=np.int32)
+
+        bwt = np.where(sa > 0, text[sa - 1], text[n - 1]).astype(np.int8)
+
+        n_blocks = (n + BLOCK - 1) // BLOCK
+        padded = np.full(n_blocks * BLOCK, BWT_PAD, dtype=np.int8)
+        padded[:n] = bwt
+        bwt_blocks = padded.reshape(n_blocks, BLOCK)
+
+        # occ[b, c] = count of c in bwt[0 : b*BLOCK]
+        per_block = (bwt_blocks[:, :, None] == np.arange(SIGMA, dtype=np.int8)).sum(axis=1)
+        occ = np.zeros((n_blocks + 1, SIGMA), dtype=np.int32)
+        np.cumsum(per_block, axis=0, out=occ[1:])
+
+        sym_counts = np.bincount(text.astype(np.int64), minlength=SIGMA)
+        counts = np.zeros(SIGMA + 1, dtype=np.int32)
+        np.cumsum(sym_counts, out=counts[1:])
+
+        fm = cls(n=n, bwt_blocks=bwt_blocks, occ=occ, counts=counts,
+                 sa=sa, sample_rate=1)
+        if sample_rate > 1:
+            fm = fm.subsample_sa(sample_rate)
+        return fm
+
+    def subsample_sa(self, rate: int) -> "FMIndex":
+        """Keep SA values at text positions % rate == 0; see ops/locate.py."""
+        marked = (self.sa % rate == 0)
+        sa_rank = np.zeros(self.n + 1, dtype=np.int32)
+        np.cumsum(marked, out=sa_rank[1:])
+        return FMIndex(
+            n=self.n, bwt_blocks=self.bwt_blocks, occ=self.occ,
+            counts=self.counts, sa=self.sa[marked], sample_rate=rate,
+            sa_marked=marked.astype(np.uint8), sa_rank=sa_rank,
+        )
+
+    # --- host-side reference rank/search (oracle for device kernels) ---
+
+    def rank(self, c: int, i: int) -> int:
+        """Occurrences of c in bwt[0:i)."""
+        b, r = divmod(i, BLOCK)
+        return int(self.occ[b, c]) + int((self.bwt_blocks[b, :r] == c).sum())
+
+    def backward_step(self, c: int, lo: int, hi: int) -> tuple[int, int]:
+        return (int(self.counts[c]) + self.rank(c, lo),
+                int(self.counts[c]) + self.rank(c, hi))
+
+    def backward_search(self, pattern: np.ndarray) -> tuple[int, int]:
+        """SA interval [lo, hi) of exact occurrences of pattern (searched back-to-front)."""
+        lo, hi = 0, self.n
+        for c in np.asarray(pattern, dtype=np.int8)[::-1]:
+            lo, hi = self.backward_step(int(c), lo, hi)
+            if lo >= hi:
+                return lo, lo
+        return lo, hi
+
+    def locate(self, row: int) -> int:
+        """Text position of SA row (host oracle; device version in ops/locate.py)."""
+        if self.sample_rate == 1:
+            return int(self.sa[row])
+        steps = 0
+        while not self.sa_marked[row]:
+            c = None
+            b, r = divmod(row, BLOCK)
+            c = int(self.bwt_blocks[b, r])
+            row = int(self.counts[c]) + self.rank(c, row)
+            steps += 1
+        return int(self.sa[self.sa_rank[row]]) + steps
+
+    # --- serialization (per-bin artifact, SURVEY.md §5.4) ---
+
+    def save(self, path):
+        np.savez(
+            path, n=self.n, bwt_blocks=self.bwt_blocks, occ=self.occ,
+            counts=self.counts, sa=self.sa, sample_rate=self.sample_rate,
+            **({"sa_marked": self.sa_marked, "sa_rank": self.sa_rank}
+               if self.sample_rate > 1 else {}),
+        )
+
+    @classmethod
+    def load(cls, path) -> "FMIndex":
+        path = str(path)
+        if not path.endswith(".npz"):
+            path += ".npz"
+        z = np.load(path)
+        rate = int(z["sample_rate"])
+        return cls(n=int(z["n"]), bwt_blocks=z["bwt_blocks"], occ=z["occ"],
+                   counts=z["counts"], sa=z["sa"], sample_rate=rate,
+                   sa_marked=z["sa_marked"] if rate > 1 else None,
+                   sa_rank=z["sa_rank"] if rate > 1 else None)

@@ -1,0 +1,74 @@
+"""K-mer extraction and IBF hashing — shared host (numpy) definition.
+
+The device (jnp) implementation in ops/ibf_query.py reproduces EXACTLY this
+arithmetic; tests assert host/device hash equality. All arithmetic is uint32
+with wraparound so the TPU (no 64-bit ints) and host agree bit-for-bit.
+
+K-mer value convention: kmer_lo/hi are the 2-bit packed window with the FIRST
+base in the LEAST significant bits of lo; bases 16..k-1 go to hi. k <= 32.
+Only windows free of N/sentinel are valid (reference inserts Dna-only k-mers
+from bin fastas, src/d_build_filter.cpp [U,M]).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# Odd multiplicative seeds for the n_hashes hash functions (first n used).
+HASH_SEEDS = np.array(
+    [0x9E3779B1, 0x85EBCA77, 0xC2B2AE3D, 0x27D4EB2F, 0x165667B1,
+     0xD3A2646D, 0xFD7046C5, 0xB55A4F09],
+    dtype=np.uint32,
+)
+MIX_MULT = np.uint32(0x85EBCA6B)
+
+
+def kmer_windows(codes: np.ndarray, k: int):
+    """All k-length windows of `codes` as packed (lo, hi) uint32 + validity mask.
+
+    Returns (lo, hi, valid) each of shape (len(codes) - k + 1,); empty if the
+    sequence is shorter than k.
+    """
+    codes = np.asarray(codes, dtype=np.int64)
+    n = len(codes)
+    m = n - k + 1
+    if m <= 0:
+        z = np.zeros(0, dtype=np.uint32)
+        return z, z.copy(), np.zeros(0, dtype=bool)
+    lo = np.zeros(m, dtype=np.int64)
+    hi = np.zeros(m, dtype=np.int64)
+    masked = codes & 3
+    for t in range(min(k, 16)):
+        lo |= masked[t : m + t] << (2 * t)
+    for t in range(16, k):
+        hi |= masked[t : m + t] << (2 * (t - 16))
+    bad = (codes >= 4).astype(np.int64)
+    cbad = np.concatenate([[0], np.cumsum(bad)])
+    valid = (cbad[k:] - cbad[:-k]) == 0
+    return lo.astype(np.uint32), hi.astype(np.uint32), valid
+
+
+def fmix32(h: np.ndarray) -> np.ndarray:
+    """murmur3 32-bit finalizer — full-avalanche bijection on uint32.
+
+    Needed because row selection uses a modulo, which keeps LOW bits: without a
+    finalizer, (kmer * seed) % n_rows depends only on the kmer's low bits and
+    all hash functions collide together (observed as massive IBF false
+    positives during verification).
+    """
+    h = h.astype(np.uint32)
+    h ^= h >> np.uint32(16)
+    h = (h * np.uint32(0x85EBCA6B)).astype(np.uint32)
+    h ^= h >> np.uint32(13)
+    h = (h * np.uint32(0xC2B2AE35)).astype(np.uint32)
+    h ^= h >> np.uint32(16)
+    return h
+
+
+def ibf_rows(lo: np.ndarray, hi: np.ndarray, n_hashes: int, n_rows: int) -> np.ndarray:
+    """Hash rows for each kmer: shape (len(lo), n_hashes) int64 in [0, n_rows)."""
+    mix = (lo ^ (hi * MIX_MULT)).astype(np.uint32)
+    seeds = HASH_SEEDS[:n_hashes]
+    v = fmix32(mix[:, None] ^ seeds[None, :])
+    v = (v & np.uint32(0x7FFFFFFF)).astype(np.int64)
+    return v % np.int64(n_rows)

@@ -1,0 +1,107 @@
+"""Interleaved Bloom Filter — THE DREAM data structure (SURVEY.md §2.6).
+
+Analog of reference src/d_bloom_filter.h SeqAnBloomFilter [U]. Layout matches
+the reference's interleaving (BASELINE.json "IBF bitvector layout"): one flat
+bit space of n_rows * bins_padded bits; hash h_j(kmer) selects a ROW; within a
+row there is one bit per bin. Bit index = hash * bins_padded + bin_id.
+
+TPU-first storage: uint32 word matrix `words` of shape (n_rows, bins_padded/32)
+— a device query gathers whole rows (one per hash), ANDs them across hashes,
+and unpacks bits to per-bin counters (ops/ibf_query.py). bins_padded is rounded
+to a multiple of 64 like the reference [U].
+
+Dynamic update (reference src/d_update_filter.cpp [U]): clear_bins() zeroes one
+bin's bit column across all rows — O(filter), not O(database) — then k-mers of
+the replacement sequences are re-inserted.
+
+Strand convention: forward k-mers of the bin sequences are inserted; the mapper
+queries each read AND its reverse complement and unions the candidate bins
+(reference queries both orientations since mapping is strand-symmetric [U,M]).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from .hashing import kmer_windows, ibf_rows
+
+
+@dataclass
+class InterleavedBloomFilter:
+    bins: int
+    n_rows: int
+    n_hashes: int
+    k: int
+    words: np.ndarray  # (n_rows, bins_padded // 32) uint32
+
+    @property
+    def bins_padded(self) -> int:
+        return self.words.shape[1] * 32
+
+    @classmethod
+    def create(cls, bins: int, size_bits: int, n_hashes: int = 3, k: int = 19):
+        bins_padded = ((bins + 63) // 64) * 64
+        n_rows = max(1, size_bits // bins_padded)
+        words = np.zeros((n_rows, bins_padded // 32), dtype=np.uint32)
+        return cls(bins=bins, n_rows=n_rows, n_hashes=n_hashes, k=k, words=words)
+
+    # --- build / update (host, offline path) ---
+
+    def add_kmers(self, codes: np.ndarray, bin_id: int):
+        """Insert all valid k-mers of one sequence into bin_id's column."""
+        lo, hi, valid = kmer_windows(codes, self.k)
+        if not valid.any():
+            return
+        rows = ibf_rows(lo[valid], hi[valid], self.n_hashes, self.n_rows).reshape(-1)
+        word, bit = divmod(bin_id, 32)
+        np.bitwise_or.at(self.words[:, word], rows, np.uint32(1 << bit))
+
+    def clear_bins(self, bin_ids):
+        """Zero the bit columns of the given bins across all rows (O(filter))."""
+        for b in bin_ids:
+            word, bit = divmod(int(b), 32)
+            self.words[:, word] &= np.uint32(~np.uint32(1 << bit))
+
+    # --- query (host oracle; device version in ops/ibf_query.py) ---
+
+    def bin_counts(self, codes: np.ndarray) -> np.ndarray:
+        """Per-bin count of k-mers of `codes` present in each bin. Shape (bins,)."""
+        lo, hi, valid = kmer_windows(codes, self.k)
+        counts = np.zeros(self.bins, dtype=np.int32)
+        if not valid.any():
+            return counts
+        rows = ibf_rows(lo[valid], hi[valid], self.n_hashes, self.n_rows)
+        row_words = self.words[rows]                  # (nk, h, W)
+        anded = row_words[:, 0]
+        for j in range(1, self.n_hashes):
+            anded = anded & row_words[:, j]           # (nk, W)
+        shifts = np.arange(32, dtype=np.uint32)
+        bits = (anded[:, :, None] >> shifts) & 1      # (nk, W, 32)
+        counts_padded = bits.sum(axis=0).reshape(-1)  # (bins_padded,)
+        return counts_padded[: self.bins].astype(np.int32)
+
+    def which_bins(self, codes: np.ndarray, threshold: int) -> np.ndarray:
+        """Bin ids whose count >= threshold (k-mer counting lemma, §2.6)."""
+        return np.nonzero(self.bin_counts(codes) >= threshold)[0]
+
+    @staticmethod
+    def threshold(read_len: int, k: int, errors: int) -> int:
+        """k-mer lemma: t = (l - k + 1) - k*e, floored at 1."""
+        return max(1, (read_len - k + 1) - k * errors)
+
+    # --- serialization ---
+
+    def save(self, path):
+        np.savez(path, bins=self.bins, n_rows=self.n_rows,
+                 n_hashes=self.n_hashes, k=self.k, words=self.words)
+
+    @classmethod
+    def load(cls, path) -> "InterleavedBloomFilter":
+        path = str(path)
+        if not path.endswith(".npz"):
+            path += ".npz"
+        z = np.load(path)
+        return cls(bins=int(z["bins"]), n_rows=int(z["n_rows"]),
+                   n_hashes=int(z["n_hashes"]), k=int(z["k"]), words=z["words"])

@@ -1,0 +1,42 @@
+"""Per-stage wall-clock accumulators (analog of reference src/misc_timer.h Timer<> [U])."""
+
+from __future__ import annotations
+
+import time
+from contextlib import contextmanager
+
+
+class StageTimers:
+    """Accumulates wall-clock seconds per named pipeline stage.
+
+    The reference prints loading/seeding/extension/... times at --verbose;
+    we reproduce the same stage report (SURVEY.md §5.1).
+    """
+
+    def __init__(self):
+        self.totals: dict[str, float] = {}
+        self.counts: dict[str, int] = {}
+
+    @contextmanager
+    def stage(self, name: str):
+        t0 = time.perf_counter()
+        try:
+            yield
+        finally:
+            dt = time.perf_counter() - t0
+            self.totals[name] = self.totals.get(name, 0.0) + dt
+            self.counts[name] = self.counts.get(name, 0) + 1
+
+    def add(self, name: str, seconds: float):
+        self.totals[name] = self.totals.get(name, 0.0) + seconds
+        self.counts[name] = self.counts.get(name, 0) + 1
+
+    def merge(self, other: "StageTimers"):
+        for k, v in other.totals.items():
+            self.add(k, v)
+
+    def report(self) -> str:
+        lines = []
+        for name, total in sorted(self.totals.items(), key=lambda kv: -kv[1]):
+            lines.append(f"  {name:<28s} {total:9.3f}s  (x{self.counts[name]})")
+        return "\n".join(lines)

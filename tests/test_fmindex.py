@@ -1,0 +1,74 @@
+import numpy as np
+import pytest
+
+from dream_yara_tpu.index.fmindex import FMIndex
+from tests.conftest import random_text
+
+
+def naive_count(text, pat):
+    t = bytes(np.asarray(text, np.uint8))
+    p = bytes(np.asarray(pat, np.uint8))
+    n, m = len(t), len(p)
+    return [i for i in range(n - m + 1) if t[i : i + m] == p]
+
+
+@pytest.fixture
+def fm_and_text(rng):
+    text = random_text(rng, 1000)
+    text[-1] = 5  # terminator
+    return FMIndex.build(text), text
+
+
+def test_rank_against_naive(fm_and_text, rng):
+    fm, text = fm_and_text
+    n = fm.n
+    bwt = np.where(fm.sa > 0, text[fm.sa - 1], text[n - 1])
+    for _ in range(50):
+        c = int(rng.integers(0, 6))
+        i = int(rng.integers(0, n + 1))
+        assert fm.rank(c, i) == int((bwt[:i] == c).sum())
+
+
+def test_backward_search_counts(fm_and_text, rng):
+    fm, text = fm_and_text
+    for m in [1, 3, 8, 20]:
+        for _ in range(20):
+            pat = random_text(rng, m)
+            lo, hi = fm.backward_search(pat)
+            occs = naive_count(text, pat)
+            assert hi - lo == len(occs)
+            if occs:
+                found = sorted(fm.locate(r) for r in range(lo, hi))
+                assert found == occs
+
+
+def test_backward_search_present_substring(fm_and_text, rng):
+    fm, text = fm_and_text
+    for _ in range(20):
+        start = int(rng.integers(0, len(text) - 30))
+        pat = text[start : start + 25]
+        lo, hi = fm.backward_search(pat)
+        assert hi > lo
+        assert start in [fm.locate(r) for r in range(lo, hi)]
+
+
+def test_sampled_sa_locate(fm_and_text, rng):
+    fm, text = fm_and_text
+    fms = fm.subsample_sa(8)
+    assert len(fms.sa) < len(text)
+    for row in rng.integers(0, fm.n, 100):
+        assert fms.locate(int(row)) == int(fm.sa[row])
+
+
+def test_save_load(fm_and_text, tmp_path):
+    fm, _ = fm_and_text
+    fm.save(tmp_path / "fm")
+    fm2 = FMIndex.load(tmp_path / "fm")
+    assert fm2.n == fm.n
+    assert np.array_equal(fm2.sa, fm.sa)
+    assert np.array_equal(fm2.occ, fm.occ)
+    fms = fm.subsample_sa(4)
+    fms.save(tmp_path / "fms")
+    fms2 = FMIndex.load(tmp_path / "fms")
+    assert fms2.sample_rate == 4
+    assert fms2.locate(10) == fm.sa[10]

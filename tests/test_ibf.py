@@ -1,0 +1,95 @@
+import numpy as np
+import pytest
+
+from dream_yara_tpu.index.hashing import kmer_windows
+from dream_yara_tpu.index.ibf import InterleavedBloomFilter
+from dream_yara_tpu.index.kdx import DirectKmerFilter
+from tests.conftest import random_text
+
+
+def test_kmer_windows(rng):
+    codes = random_text(rng, 50)
+    lo, hi, valid = kmer_windows(codes, 19)
+    assert len(lo) == 32
+    assert valid.all()
+    # manual check of window 0 packing
+    expect_lo = sum(int(codes[t]) << (2 * t) for t in range(16)) & 0xFFFFFFFF
+    expect_hi = sum(int(codes[t]) << (2 * (t - 16)) for t in range(16, 19))
+    assert lo[0] == expect_lo and hi[0] == expect_hi
+    codes[25] = 4  # N invalidates windows covering position 25
+    _, _, valid = kmer_windows(codes, 19)
+    assert not valid[7:26].any()
+    assert valid[:7].all() and valid[26:].all()
+
+
+def test_ibf_no_false_negatives(rng):
+    bins = 8
+    ibf = InterleavedBloomFilter.create(bins, size_bits=1 << 18, n_hashes=3, k=19)
+    seqs = [random_text(rng, 500) for _ in range(bins)]
+    for b, s in enumerate(seqs):
+        ibf.add_kmers(s, b)
+    for b, s in enumerate(seqs):
+        # every k-mer of bin b's sequence must be found in bin b
+        counts = ibf.bin_counts(s)
+        assert counts[b] == 500 - 19 + 1
+        # a read drawn from bin b passes the threshold for bin b
+        read = s[100:200]
+        t = ibf.threshold(100, 19, errors=3)
+        assert b in ibf.which_bins(read, t)
+
+
+def test_ibf_rejects_unrelated(rng):
+    ibf = InterleavedBloomFilter.create(4, size_bits=1 << 20, n_hashes=3, k=19)
+    ibf.add_kmers(random_text(rng, 1000), 0)
+    alien = random_text(rng, 100)
+    t = ibf.threshold(100, 19, errors=3)
+    # with a roomy filter, an unrelated read should miss (statistically certain)
+    assert len(ibf.which_bins(alien, t)) == 0
+
+
+def test_ibf_clear_and_update(rng):
+    bins = 4
+    ibf = InterleavedBloomFilter.create(bins, size_bits=1 << 18, n_hashes=2, k=15)
+    seqs = [random_text(rng, 300) for _ in range(bins)]
+    for b, s in enumerate(seqs):
+        ibf.add_kmers(s, b)
+    before_other = ibf.bin_counts(seqs[2]).copy()
+    ibf.clear_bins([1])
+    assert ibf.bin_counts(seqs[1])[1] == 0
+    # other bins' columns untouched (column 1 may legitimately change)
+    keep = [0, 2, 3]
+    assert np.array_equal(ibf.bin_counts(seqs[2])[keep], before_other[keep])
+    new_seq = random_text(rng, 300)
+    ibf.add_kmers(new_seq, 1)
+    assert ibf.bin_counts(new_seq)[1] == 300 - 15 + 1
+
+
+def test_ibf_save_load(rng, tmp_path):
+    ibf = InterleavedBloomFilter.create(4, size_bits=1 << 16, n_hashes=2, k=13)
+    ibf.add_kmers(random_text(rng, 200), 3)
+    ibf.save(tmp_path / "f")
+    ibf2 = InterleavedBloomFilter.load(tmp_path / "f")
+    assert ibf2.k == 13 and ibf2.bins == 4
+    assert np.array_equal(ibf2.words, ibf.words)
+
+
+def test_kdx_exact(rng):
+    kdx = DirectKmerFilter.create(4, k=10)
+    seqs = [random_text(rng, 200) for _ in range(4)]
+    for b, s in enumerate(seqs):
+        kdx.add_kmers(s, b)
+    for b, s in enumerate(seqs):
+        assert kdx.bin_counts(s)[b] == 200 - 10 + 1
+    # exactness: a k-mer not inserted is never reported
+    probe = random_text(rng, 10)
+    present = any(
+        bytes(probe) in bytes(s[i : i + 10])
+        for s in seqs for i in range(0, 191))
+    counts = kdx.bin_counts(probe)
+    if not present:
+        assert counts.sum() == 0
+
+
+def test_threshold_lemma():
+    assert InterleavedBloomFilter.threshold(100, 19, 3) == 100 - 19 + 1 - 57
+    assert InterleavedBloomFilter.threshold(20, 19, 3) == 1  # floored
