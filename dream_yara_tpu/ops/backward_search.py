@@ -1,0 +1,68 @@
+"""Batched exact backward search of seeds in one bin's FM-index.
+
+Reference analog: multi-pattern exact search in src/mapper_filter.h findSeeds<0>
+via SeqAn FM iterators [U]. TPU-first: all S seeds advance in lockstep through
+a fixed-trip-count fori_loop over seed length; each step issues 2S rank queries
+as one batched gather (lo and hi bounds fused into a single (2S,) rank call so
+the BWT row gathers coalesce). Dead seeds (empty interval / invalid) are
+carried along — branchless, as XLA wants.
+
+Seeds are searched back-to-front (backward search matches the suffix first).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .rank import rank
+
+
+def backward_search(bwt_blocks, occ, counts, n,
+                    seeds: jnp.ndarray, valid: jnp.ndarray | None = None):
+    """Exact SA intervals for fixed-length seeds.
+
+    seeds: (S, L) int8 codes; valid: (S,) bool (False => returns empty interval).
+    Returns (lo, hi): each (S,) int32, interval [lo, hi) of exact matches.
+    """
+    S, L = seeds.shape
+    lo0 = jnp.zeros(S, dtype=jnp.int32)
+    hi0 = jnp.full(S, n, dtype=jnp.int32)
+    if valid is not None:
+        hi0 = jnp.where(valid, hi0, 0)
+
+    def step(t, carry):
+        lo, hi = carry
+        c = jax.lax.dynamic_slice_in_dim(seeds, L - 1 - t, 1, axis=1)[:, 0]
+        c32 = c.astype(jnp.int32)
+        bounds = jnp.concatenate([lo, hi])
+        ranks = rank(bwt_blocks, occ, jnp.tile(c32, 2), bounds)
+        cc = jnp.take(counts, c32)
+        nlo = cc + ranks[:S]
+        nhi = cc + ranks[S:]
+        # keep empty intervals empty (rank is monotone so nlo<=nhi holds anyway)
+        alive = lo < hi
+        return jnp.where(alive, nlo, lo), jnp.where(alive, nhi, lo)
+
+    lo, hi = jax.lax.fori_loop(0, L, step, (lo0, hi0))
+    return lo, hi
+
+
+def gather_hits(sa: jnp.ndarray, lo: jnp.ndarray, hi: jnp.ndarray, capacity: int):
+    """Expand SA intervals into text positions with a per-seed capacity.
+
+    Returns (positions, mask, overflow):
+      positions: (S, capacity) int32 text positions (garbage where ~mask)
+      mask:      (S, capacity) bool — hit j of seed s is real
+      overflow:  (S,) int32 — hits beyond capacity (must be reprocessed by the
+                 caller to preserve all-mapping completeness; SURVEY.md §7
+                 "ragged routing under fixed-capacity buffers")
+    """
+    S = lo.shape[0]
+    offs = jnp.arange(capacity, dtype=jnp.int32)
+    rows = lo[:, None] + offs[None, :]
+    mask = rows < hi[:, None]
+    rows = jnp.clip(rows, 0, sa.shape[0] - 1)
+    positions = jnp.take(sa, rows)
+    overflow = jnp.maximum(hi - lo - capacity, 0)
+    return positions, mask, overflow

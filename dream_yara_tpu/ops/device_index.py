@@ -1,0 +1,93 @@
+"""Device-resident index containers (pytrees of jnp arrays).
+
+One DeviceFM per bin; DeviceFMSet stacks B bins with per-bin padding so the
+whole database is a single pytree whose leading axis can be sharded over the
+mesh 'bin' axis (SURVEY.md §2.10 "database/bin parallelism").
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..index.fmindex import BLOCK, BWT_PAD, FMIndex
+
+
+class DeviceFM(NamedTuple):
+    """FM-index + text of one bin, device layout (see index/fmindex.py)."""
+
+    bwt_blocks: jnp.ndarray  # (n_blocks, 128) int8
+    occ: jnp.ndarray         # (n_blocks + 1, SIGMA) int32
+    counts: jnp.ndarray      # (SIGMA + 1,) int32
+    sa: jnp.ndarray          # (n,) int32 (full SA; sampled mode adds fields later)
+    text: jnp.ndarray        # (n,) int8 — verification windows gather from this
+    n: jnp.ndarray           # () int32 text length
+
+    @classmethod
+    def from_host(cls, fm: FMIndex, text: np.ndarray) -> "DeviceFM":
+        if fm.sample_rate != 1:
+            raise NotImplementedError("device locate currently wants the full SA")
+        return cls(
+            bwt_blocks=jnp.asarray(fm.bwt_blocks),
+            occ=jnp.asarray(fm.occ),
+            counts=jnp.asarray(fm.counts),
+            sa=jnp.asarray(fm.sa),
+            text=jnp.asarray(text, dtype=jnp.int8),
+            n=jnp.asarray(fm.n, dtype=jnp.int32),
+        )
+
+
+class DeviceFMSet(NamedTuple):
+    """B bins stacked with padding to the largest bin; axis 0 is shardable.
+
+    Padding convention: bwt blocks padded with BWT_PAD, occ rows repeat the
+    final checkpoint (rank beyond n is constant), sa/text padded with 0 /
+    BWT_PAD, `n` carries each bin's true length so searches stay exact.
+    """
+
+    bwt_blocks: jnp.ndarray  # (B, max_blocks, 128) int8
+    occ: jnp.ndarray         # (B, max_blocks + 1, SIGMA) int32
+    counts: jnp.ndarray      # (B, SIGMA + 1) int32
+    sa: jnp.ndarray          # (B, max_n) int32
+    text: jnp.ndarray        # (B, max_n) int8
+    n: jnp.ndarray           # (B,) int32
+
+    @property
+    def n_bins(self) -> int:
+        return self.bwt_blocks.shape[0]
+
+    @classmethod
+    def from_host(cls, fms: list[FMIndex], texts: list[np.ndarray],
+                  pad_bins_to: int | None = None) -> "DeviceFMSet":
+        B = len(fms)
+        max_n = max(fm.n for fm in fms)
+        max_blocks = (max_n + BLOCK - 1) // BLOCK
+        Bp = pad_bins_to or B
+
+        bwt = np.full((Bp, max_blocks, BLOCK), BWT_PAD, dtype=np.int8)
+        occ = np.zeros((Bp, max_blocks + 1, fms[0].occ.shape[1]), dtype=np.int32)
+        counts = np.zeros((Bp, fms[0].counts.shape[0]), dtype=np.int32)
+        sa = np.zeros((Bp, max_n), dtype=np.int32)
+        text = np.full((Bp, max_n), BWT_PAD, dtype=np.int8)
+        n = np.zeros(Bp, dtype=np.int32)
+
+        for b, (fm, t) in enumerate(zip(fms, texts)):
+            nb = fm.bwt_blocks.shape[0]
+            bwt[b, :nb] = fm.bwt_blocks
+            occ[b, : nb + 1] = fm.occ
+            occ[b, nb + 1 :] = fm.occ[-1]  # rank is constant past the text end
+            counts[b] = fm.counts
+            sa[b, : fm.n] = fm.sa
+            text[b, : fm.n] = t
+            n[b] = fm.n
+
+        return cls(bwt_blocks=jnp.asarray(bwt), occ=jnp.asarray(occ),
+                   counts=jnp.asarray(counts), sa=jnp.asarray(sa),
+                   text=jnp.asarray(text), n=jnp.asarray(n))
+
+    def bin(self, b: int) -> DeviceFM:
+        return DeviceFM(bwt_blocks=self.bwt_blocks[b], occ=self.occ[b],
+                        counts=self.counts[b], sa=self.sa[b],
+                        text=self.text[b], n=self.n[b])

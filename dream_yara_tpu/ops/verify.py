@@ -1,0 +1,105 @@
+"""Banded edit-distance verification of candidate locations (HOT LOOP 3).
+
+Reference analog: banded Myers bit-vector DP in src/find_extender.h /
+find_verifier.h [U]. TPU-first redesign: instead of Myers' word-parallel
+bit tricks (great on scalar CPUs, poor fit for 8x128 VPU lanes), we run a
+*banded Levenshtein DP over the anti-band axis*, vectorized across candidates:
+
+  state D[c, d] = min edits aligning read_c[0:j] to window ending at diagonal
+  offset d (d in [0, 2E], band width W = 2E+1), stored as a (C, W) int32 array.
+  One fori_loop step per read position j: a (C, W) compare + two shifted mins +
+  a log2(W)-step min-plus prefix scan for the in-row (insertion) dependency.
+  All candidates advance in lockstep; begin positions are carried through the
+  DP so no traceback pass is needed for POS.
+
+Semantics (the verification truth, docs/OUTPUT_CONTRACT.md): edit distance of
+the ENTIRE read against text window [anchor-E, anchor+len+E); N and sentinel
+(codes >= 4) mismatch everything, so alignments never silently match padding,
+Ns, or contig boundaries.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+INF = jnp.int32(1 << 20)
+
+
+def banded_verify(text: jnp.ndarray, anchors: jnp.ndarray, reads: jnp.ndarray,
+                  read_rows: jnp.ndarray, lengths: jnp.ndarray, max_err: int):
+    """Verify candidates (read placed at text position `anchor` +- max_err).
+
+    text: (n,) int8 bin text; anchors: (C,) int32 claimed begin positions;
+    reads: (R2, L) int8 padded read matrix; read_rows: (C,) int32 row per
+    candidate; lengths: (C,) int32; max_err: static band radius E.
+
+    Returns (dist, begin, end): (C,) int32 each — best whole-read edit
+    distance within the band, and its text begin/end (end exclusive).
+    Candidates whose optimum leaves the band report dist >= INF/2.
+    """
+    C = anchors.shape[0]
+    L = reads.shape[1]
+    E = int(max_err)
+    W = 2 * E + 1
+    n = text.shape[0]
+
+    # Gather per-candidate read rows and text windows once (coalesced).
+    reads_g = jnp.take(reads, read_rows, axis=0)                   # (C, L)
+    win_idx = (anchors - E)[:, None] + jnp.arange(L + 2 * E, dtype=jnp.int32)[None, :]
+    in_text = (win_idx >= 0) & (win_idx < n)
+    windows = jnp.where(
+        in_text, jnp.take(text, jnp.clip(win_idx, 0, n - 1)), jnp.int8(6)
+    )                                                              # (C, L+2E)
+
+    d_off = jnp.arange(W, dtype=jnp.int32)
+
+    # D[c,d]: edits for read[0:j] vs window[0:j+d]; start[c,d]: window offset
+    # where that alignment begins (free leading text = semi-global in text).
+    D0 = jnp.zeros((C, W), dtype=jnp.int32)
+    S0 = jnp.broadcast_to(d_off[None, :], (C, W)).astype(jnp.int32)
+    best0 = jnp.full(C, INF, dtype=jnp.int32)
+    bbeg0 = jnp.zeros(C, dtype=jnp.int32)
+    bend0 = jnp.zeros(C, dtype=jnp.int32)
+
+    def shift_left(a, fill):   # a[:, d] <- a[:, d+1]
+        return jnp.concatenate([a[:, 1:], jnp.full((C, 1), fill, a.dtype)], axis=1)
+
+    def shift_right(a, k, fill):
+        return jnp.concatenate([jnp.full((C, k), fill, a.dtype), a[:, :-k]], axis=1)
+
+    def step(j, carry):
+        D, S, best, bbeg, bend = carry
+        wchars = jax.lax.dynamic_slice_in_dim(windows, j, W, axis=1)   # (C, W)
+        rchar = jax.lax.dynamic_slice_in_dim(reads_g, j, 1, axis=1)    # (C, 1)
+        sub = ((rchar != wchars) | (rchar >= 4) | (wchars >= 4)).astype(jnp.int32)
+
+        diag = D + sub
+        up_D = shift_left(D, INF) + 1          # read-gap (deletion in read)
+        up_S = shift_left(S, 0)
+        take_up = up_D < diag
+        nD = jnp.where(take_up, up_D, diag)
+        nS = jnp.where(take_up, up_S, S)
+        # in-row insertion dependency: nD[d] = min_{d'<=d} nD[d'] + (d-d'),
+        # resolved as a min-plus prefix scan by doubling.
+        k = 1
+        while k < W:
+            cand = shift_right(nD, k, INF) + k
+            candS = shift_right(nS, k, 0)
+            take = cand < nD
+            nD = jnp.where(take, cand, nD)
+            nS = jnp.where(take, candS, nS)
+            k *= 2
+
+        done = (j + 1) == lengths                                     # (C,)
+        row_best = jnp.min(nD, axis=1)
+        d_best = jnp.argmin(nD, axis=1).astype(jnp.int32)             # smallest d wins ties
+        s_best = jnp.take_along_axis(nS, d_best[:, None], axis=1)[:, 0]
+        best = jnp.where(done, row_best, best)
+        bbeg = jnp.where(done, anchors - E + s_best, bbeg)
+        bend = jnp.where(done, anchors - E + (j + 1) + d_best, bend)
+        return nD, nS, best, bbeg, bend
+
+    _, _, best, bbeg, bend = jax.lax.fori_loop(
+        0, L, step, (D0, S0, best0, bbeg0, bend0))
+    return best, bbeg, bend

@@ -5,10 +5,16 @@ Must set env before jax is imported anywhere.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The image pins JAX_PLATFORMS=axon (live TPU tunnel with slow remote compiles)
+# and a sitecustomize imports jax at interpreter start, so env vars are too
+# late — use the runtime config override instead.
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest
