@@ -48,6 +48,40 @@ def backward_search(bwt_blocks, occ, counts, n,
     return lo, hi
 
 
+def seed_search(bwt_blocks, occ, counts, n, reads: jnp.ndarray,
+                rows: jnp.ndarray, starts: jnp.ndarray, slens: jnp.ndarray,
+                max_seed_len: int):
+    """Exact backward search of variable-length seeds cut from the read matrix.
+
+    reads: (R2, L) int8; rows/starts/slens: (S,) int32 — seed s is
+    reads[rows[s], starts[s] : starts[s]+slens[s]]. max_seed_len bounds the
+    fori_loop trip count (static). slens == 0 marks invalid seeds -> empty
+    interval. Seeds advance in lockstep back-to-front; seeds shorter than
+    max_seed_len finish early and freeze (branchless masking).
+    """
+    S = rows.shape[0]
+    L = reads.shape[1]
+    flat = reads.reshape(-1)
+    lo0 = jnp.zeros(S, dtype=jnp.int32)
+    hi0 = jnp.where(slens > 0, jnp.full(S, n, dtype=jnp.int32), 0)
+
+    def step(t, carry):
+        lo, hi = carry
+        active = t < slens
+        idx = starts + slens - 1 - t
+        c = jnp.take(flat, rows * L + jnp.clip(idx, 0, L - 1)).astype(jnp.int32)
+        bounds = jnp.concatenate([lo, hi])
+        ranks = rank(bwt_blocks, occ, jnp.tile(c, 2), bounds)
+        cc = jnp.take(counts, c)
+        nlo = cc + ranks[:S]
+        nhi = cc + ranks[S:]
+        upd = active & (lo < hi)
+        return jnp.where(upd, nlo, lo), jnp.where(upd, nhi, hi)
+
+    lo, hi = jax.lax.fori_loop(0, max_seed_len, step, (lo0, hi0))
+    return lo, jnp.maximum(lo, hi)
+
+
 def gather_hits(sa: jnp.ndarray, lo: jnp.ndarray, hi: jnp.ndarray, capacity: int):
     """Expand SA intervals into text positions with a per-seed capacity.
 

@@ -1,0 +1,163 @@
+"""Single-bin mapper orchestration — analog of reference src/mapper.h Mapper /
+mapReads [U] for the one-bin case (the DREAM multi-bin driver builds on this,
+parallel/ + dis_mapper).
+
+Host loop: pad the batch into fixed-size chunks (one XLA compile per shape),
+run the jitted map step per chunk, spill overflowing seeds to a host fallback
+(completeness: fixed device capacity never drops matches, SURVEY.md §7 hard
+part 3), then dedup/rank/CIGAR/SAM on host.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..index.fmindex import FMIndex
+from ..io.readstore import ReadBatch
+from ..io.seqstore import SeqStore
+from ..ops.device_index import DeviceFM
+from ..utils.options import MapperOptions
+from ..utils.timer import StageTimers
+from .cigar import compute_cigars
+from .map_step import MapStepOut, max_seed_len_static, single_bin_map_step, verify_positions
+from .matches import Matches, Ranked, build_matches, dedup_matches, rank_matches
+from .seeding import max_errors_for_batch, rate_to_ppm
+from .writer import GlobalContigs, sam_header, write_se_records
+
+CHUNK_ROWS = 2048          # seq rows per device step (fwd+rc): 1024 reads
+FALLBACK_PAD = 4096        # fixed shape for overflow-verify calls
+
+
+class BinMapper:
+    """Maps read batches against ONE bin (local coordinates)."""
+
+    def __init__(self, store: SeqStore, fm: FMIndex, opts: MapperOptions,
+                 timers: StageTimers | None = None):
+        self.store = store
+        self.fm = fm
+        self.opts = opts
+        self.dev = DeviceFM.from_host(fm, store.text)
+        self.timers = timers or StageTimers()
+
+    def map_batch(self, batch: ReadBatch, capacity: int = 8) -> Matches:
+        """All matches (bin-local global-text coords), deduped per chunk."""
+        opts = self.opts
+        rate_ppm = rate_to_ppm(opts.error_rate)
+        n = batch.n_reads
+        L = batch.max_len
+        max_err = max(1, max_errors_for_batch(L, opts.error_rate))
+        max_slen = max_seed_len_static(L, rate_ppm)
+
+        parts: list[Matches] = []
+        half = CHUNK_ROWS // 2
+        for c0 in range(0, n, half):
+            ids = np.arange(c0, min(c0 + half, n))
+            reads_c = np.full((CHUNK_ROWS, L), 4, dtype=np.int8)
+            lens_c = np.zeros(half, dtype=np.int32)
+            reads_c[: len(ids)] = batch.seqs[ids]                       # fwd rows
+            reads_c[half : half + len(ids)] = batch.seqs[n + ids]       # rc rows
+            lens_c[: len(ids)] = batch.lengths[ids]
+
+            with self.timers.stage("seed+search+verify (device)"):
+                out = single_bin_map_step(
+                    self.dev, jnp.asarray(reads_c), jnp.asarray(lens_c),
+                    rate_ppm=rate_ppm, max_errors=max_err,
+                    capacity=capacity, max_slen=max_slen)
+                out = MapStepOut(*(np.asarray(x) for x in out))
+
+            with self.timers.stage("collect matches (host)"):
+                m = build_matches(out.row, out.begin, out.end, out.dist, out.ok,
+                                  n_reads=half)
+                m = self._remap_chunk(m, ids, half, n)
+                parts.append(m)
+
+            if (out.overflow > 0).any():
+                with self.timers.stage("overflow fallback"):
+                    parts.append(self._overflow_pass(
+                        out, reads_c, lens_c, ids, half, n, max_err, rate_ppm))
+
+        # NOTE: dedup happens in map_single_bin AFTER the cross-contig filter,
+        # so a dropped boundary-crossing match can never shadow a real one.
+        return Matches.concat(parts)
+
+    def _remap_chunk(self, m: Matches, ids: np.ndarray, half: int, n: int) -> Matches:
+        """Chunk-local read ids/strands -> batch ids."""
+        keep = m.read_id < len(ids)
+        m = m.take(keep)
+        m.read_id = ids[m.read_id].astype(np.int32)
+        return m
+
+    def _overflow_pass(self, out: MapStepOut, reads_c, lens_c, ids, half, n,
+                       max_err, rate_ppm) -> Matches:
+        """Verify seed hits beyond device capacity (host expansion, device verify)."""
+        over_seeds = np.flatnonzero(out.overflow > 0)
+        rows_l, anchors_l = [], []
+        ns = max_err + 1
+        sa = self.fm.sa
+        cap = out.seed_hi - out.seed_lo - out.overflow  # == device capacity where overflowed
+        for s in over_seeds:
+            lo, hi = int(out.seed_lo[s]) + int(cap[s]), int(out.seed_hi[s])
+            row = s // ns
+            sidx = s % ns
+            l = int(lens_c[row % half]) if row % half < len(ids) else 0
+            if l == 0:
+                continue
+            e = (l * rate_ppm) // 10_000
+            slen = l // (e + 1)
+            start = sidx * slen
+            pos = sa[lo:hi].astype(np.int64)
+            rows_l.append(np.full(len(pos), row, dtype=np.int32))
+            anchors_l.append((pos - start).astype(np.int32))
+        if not rows_l:
+            return Matches.concat([])
+        rows = np.concatenate(rows_l)
+        anchors = np.concatenate(anchors_l)
+        parts = []
+        for b0 in range(0, len(rows), FALLBACK_PAD):
+            rb = rows[b0 : b0 + FALLBACK_PAD]
+            ab = anchors[b0 : b0 + FALLBACK_PAD]
+            padn = FALLBACK_PAD - len(rb)
+            mask = np.concatenate([np.ones(len(rb), bool), np.zeros(padn, bool)])
+            rb = np.concatenate([rb, np.zeros(padn, np.int32)])
+            ab = np.concatenate([ab, np.zeros(padn, np.int32)])
+            dist, beg, end = verify_positions(
+                self.dev, jnp.asarray(reads_c), jnp.asarray(lens_c),
+                jnp.asarray(rb), jnp.asarray(ab), jnp.asarray(mask),
+                max_errors=max_err)
+            dist, beg, end = np.asarray(dist), np.asarray(beg), np.asarray(end)
+            budget = (lens_c[np.clip(rb, 0, 2 * half - 1) % half] * rate_ppm) // 10_000
+            ok = mask & (dist <= budget) & (beg >= 0) & (end <= self.fm.n)
+            m = build_matches(rb, beg, end, dist, ok, n_reads=half)
+            parts.append(self._remap_chunk(m, ids, half, n))
+        return Matches.concat(parts)
+
+
+def map_single_bin(store: SeqStore, fm: FMIndex, batch: ReadBatch,
+                   opts: MapperOptions) -> tuple[Ranked, list[str], GlobalContigs]:
+    """Full single-bin SE pipeline: matches -> contig filter -> rank -> CIGARs."""
+    mapper = BinMapper(store, fm, opts)
+    m = mapper.map_batch(batch)
+
+    contigs = GlobalContigs.from_stores([store])
+    ok = contigs.same_contig_span(m.begin, m.end)
+    m = dedup_matches(m.take(ok))
+
+    ranked = rank_matches(m, batch.n_reads, strata_count=opts.strata_count)
+
+    max_err = max(1, max_errors_for_batch(batch.max_len, opts.error_rate))
+    rows = (ranked.matches.read_id +
+            ranked.matches.strand.astype(np.int32) * batch.n_reads)
+    cigars = compute_cigars(store.text, batch.seqs, rows,
+                            batch.lengths[ranked.matches.read_id],
+                            ranked.matches.begin, ranked.matches.end, max_err)
+    return ranked, cigars, contigs
+
+
+def single_bin_sam(store: SeqStore, fm: FMIndex, batch: ReadBatch,
+                   opts: MapperOptions, cmdline: str = "") -> str:
+    ranked, cigars, contigs = map_single_bin(store, fm, batch, opts)
+    lines = sam_header(contigs, cmdline)
+    lines += write_se_records(batch, contigs, ranked, cigars,
+                              secondary_mode=opts.secondary_matches)
+    return "\n".join(lines) + "\n"

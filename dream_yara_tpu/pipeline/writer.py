@@ -1,0 +1,138 @@
+"""SAM output — analog of reference src/mapper_writer.h MatchesWriter [U].
+
+Produces the output contract of SURVEY.md §2.9: @HD/@SQ/@PG header with all
+contigs of all bins in bin order; one record per read; FLAG bits for
+paired/proper/unmapped/RC/secondary; POS/RNAME from the global contig table;
+MAPQ per pipeline/mapq.py; CIGAR M/I/D; NM:i tag; secondary matches as records
+(-sm record) or XA:Z tag (-sm tag) or omitted (-sm omit).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..io.readstore import ReadBatch
+from ..io.seqstore import SeqStore
+from ..utils.alphabet import code_to_ascii
+
+FLAG_PAIRED = 0x1
+FLAG_PROPER = 0x2
+FLAG_UNMAPPED = 0x4
+FLAG_MATE_UNMAPPED = 0x8
+FLAG_RC = 0x10
+FLAG_MATE_RC = 0x20
+FLAG_FIRST = 0x40
+FLAG_LAST = 0x80
+FLAG_SECONDARY = 0x100
+
+
+@dataclass
+class GlobalContigs:
+    """Contig table across all bins, in bin order (reference: the main
+    mapper's global contig store with per-bin offsets, src/d_mapper.h
+    copyMatches [U])."""
+
+    names: list[str]
+    lengths: np.ndarray       # (n_contigs,) int64
+    starts: np.ndarray        # (n_contigs,) int64 — global coordinate of contig start
+    bin_starts: np.ndarray    # (n_bins+1,) int64 — global coordinate of each bin's text
+
+    @classmethod
+    def from_stores(cls, stores: list[SeqStore]) -> "GlobalContigs":
+        names, lengths, starts = [], [], []
+        bin_starts = [0]
+        pos = 0
+        for st in stores:
+            names.extend(st.names)
+            lengths.extend(st.lengths.tolist())
+            starts.extend((st.offsets + pos).tolist())
+            pos += len(st.text)
+            bin_starts.append(pos)
+        return cls(names=names, lengths=np.array(lengths, dtype=np.int64),
+                   starts=np.array(starts, dtype=np.int64),
+                   bin_starts=np.array(bin_starts, dtype=np.int64))
+
+    def contig_of(self, gpos: np.ndarray) -> np.ndarray:
+        return np.searchsorted(self.starts, gpos, side="right") - 1
+
+    def same_contig_span(self, begin: np.ndarray, end: np.ndarray) -> np.ndarray:
+        """True where [begin, end) lies fully inside one contig."""
+        cb = self.contig_of(begin)
+        ok = (cb >= 0) & (end > begin)
+        ce_ok = end - 1 < self.starts[np.clip(cb, 0, None)] + self.lengths[np.clip(cb, 0, None)]
+        return ok & ce_ok
+
+    def local_pos(self, gpos: np.ndarray):
+        cid = self.contig_of(gpos)
+        return cid, gpos - self.starts[cid]
+
+
+def sam_header(contigs: GlobalContigs, cmdline: str = "", version: str = "0.1.0") -> list[str]:
+    lines = ["@HD\tVN:1.6\tSO:unsorted"]
+    for name, length in zip(contigs.names, contigs.lengths):
+        lines.append(f"@SQ\tSN:{name}\tLN:{int(length)}")
+    pg = f"@PG\tID:dream-yara-tpu\tPN:dream-yara-tpu\tVN:{version}"
+    if cmdline:
+        pg += f"\tCL:{cmdline}"
+    lines.append(pg)
+    return lines
+
+
+def _seq_qual(batch: ReadBatch, read_id: int, strand: int) -> tuple[str, str]:
+    l = int(batch.lengths[read_id])
+    row = batch.seq_row(read_id, reverse=bool(strand))
+    seq = code_to_ascii(batch.seqs[row, :l]).tobytes().decode()
+    qual = batch.quals[read_id].decode() or "*"
+    if strand:
+        qual = qual[::-1]
+    return seq, qual
+
+
+def write_se_records(batch: ReadBatch, contigs: GlobalContigs, ranked,
+                     cigars: list[str], secondary_mode: str = "tag") -> list[str]:
+    """Single-end records, one primary per read (+ secondaries per mode).
+
+    ranked: pipeline.matches.Ranked (canonical order); cigars aligned with
+    ranked.matches rows.
+    """
+    from .mapq import compute_mapq
+
+    m = ranked.matches
+    mapq = compute_mapq(ranked.c1, ranked.c2)
+    cid_all, lpos_all = contigs.local_pos(m.begin)
+
+    # group match indices per read (matches sorted by read_id)
+    grp_start = np.searchsorted(m.read_id, np.arange(batch.n_reads), side="left")
+    grp_end = np.searchsorted(m.read_id, np.arange(batch.n_reads), side="right")
+
+    lines = []
+    for rid in range(batch.n_reads):
+        name = batch.names[rid]
+        s, e = int(grp_start[rid]), int(grp_end[rid])
+        if s == e:  # unmapped
+            seq, qual = _seq_qual(batch, rid, 0)
+            lines.append(f"{name}\t{FLAG_UNMAPPED}\t*\t0\t0\t*\t*\t0\t0\t{seq}\t{qual}")
+            continue
+        for k, mi in enumerate(range(s, e)):
+            strand = int(m.strand[mi])
+            flag = (FLAG_RC if strand else 0) | (0 if k == 0 else FLAG_SECONDARY)
+            if k > 0 and secondary_mode != "record":
+                break
+            rname = contigs.names[int(cid_all[mi])]
+            pos1 = int(lpos_all[mi]) + 1
+            q = int(mapq[rid]) if k == 0 else 0
+            seq, qual = ("*", "*") if k > 0 else _seq_qual(batch, rid, strand)
+            tags = [f"NM:i:{int(m.dist[mi])}"]
+            if k == 0 and secondary_mode == "tag" and e - s > 1:
+                alts = []
+                for mj in range(s + 1, e):
+                    cj = int(cid_all[mj])
+                    st = "-" if m.strand[mj] else "+"
+                    alts.append(f"{contigs.names[cj]},{st}{int(lpos_all[mj]) + 1},"
+                                f"{cigars[mj]},{int(m.dist[mj])}")
+                tags.append("XA:Z:" + ";".join(alts) + ";")
+            lines.append(f"{name}\t{flag}\t{rname}\t{pos1}\t{q}\t{cigars[mi]}"
+                         f"\t*\t0\t0\t{seq}\t{qual}\t" + "\t".join(tags))
+    return lines
