@@ -1,0 +1,108 @@
+"""Benchmark: config-1 style workload (BASELINE.json) on the available chip.
+
+E. coli-scale single bin (4.6 Mbp), 100k x 100bp reads with <= 3 errors,
+single-end, full pipeline (device map + host rank/cigar/SAM). Prints ONE
+JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+vs_baseline: the reference's own numbers are unavailable offline
+(BASELINE.md — the paper reports order 10^4-10^5 reads/s on a 32-thread Xeon
+server [L]); we normalize against the nominal 50_000 reads/s midpoint of that
+range so the ratio is meaningful-ish across rounds.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+NOMINAL_REFERENCE_READS_PER_S = 50_000.0
+
+GENOME_LEN = 4_600_000
+N_READS = 100_000
+READ_LEN = 100
+ERROR_RATE = 0.03
+CACHE = Path(__file__).parent / ".bench_cache"
+
+
+def build_or_load_db():
+    from dream_yara_tpu.index.fmindex import FMIndex
+    from dream_yara_tpu.io.seqstore import SeqStore
+
+    CACHE.mkdir(exist_ok=True)
+    store_p = CACHE / "store.npz"
+    fm_p = CACHE / "fm.npz"
+    if store_p.exists() and fm_p.exists():
+        return SeqStore.load(store_p), FMIndex.load(fm_p)
+    rng = np.random.default_rng(12345)
+    genome = rng.integers(0, 4, GENOME_LEN).astype(np.int8)
+    store = SeqStore.from_seqs(["ecoli_sim"], [genome])
+    t0 = time.time()
+    fm = FMIndex.build(store.text)
+    print(f"[bench] index build: {time.time() - t0:.1f}s", file=sys.stderr)
+    store.save(store_p)
+    fm.save(fm_p)
+    return store, fm
+
+
+def make_reads(store, n_reads):
+    from dream_yara_tpu.io.readstore import ReadBatch
+    from dream_yara_tpu.utils.alphabet import revcomp
+
+    rng = np.random.default_rng(999)
+    text = store.text
+    pos = rng.integers(0, GENOME_LEN - READ_LEN, size=n_reads)
+    reads = []
+    for i in range(n_reads):
+        r = text[pos[i] : pos[i] + READ_LEN].copy()
+        for _ in range(int(rng.integers(0, 4))):  # 0-3 substitutions
+            j = int(rng.integers(0, READ_LEN))
+            r[j] = (r[j] + int(rng.integers(1, 4))) % 4
+        if i % 2:
+            r = revcomp(r)
+        reads.append(r)
+    return ReadBatch.from_reads([f"r{i}" for i in range(n_reads)], reads)
+
+
+def main():
+    from dream_yara_tpu.pipeline.dis_mapper import DreamIndex, dream_map_sam
+    from dream_yara_tpu.utils.options import MapperOptions
+    from dream_yara_tpu.utils.timer import StageTimers
+
+    import jax
+
+    store, fm = build_or_load_db()
+    batch = make_reads(store, N_READS)
+    warm = make_reads(store, 2048)
+    # pad warmup to the same chunk shapes the real run uses
+    index = DreamIndex([store], [fm], None, "none")
+    opts = MapperOptions(error_rate=ERROR_RATE, secondary_matches="tag")
+
+    print(f"[bench] devices: {jax.devices()}", file=sys.stderr)
+    t0 = time.time()
+    dream_map_sam(index, warm, opts, header=False)
+    print(f"[bench] warmup (compile): {time.time() - t0:.1f}s", file=sys.stderr)
+
+    timers = StageTimers()
+    t0 = time.time()
+    sam = dream_map_sam(index, batch, opts, timers=timers, header=False)
+    dt = time.time() - t0
+    n_lines = sum(1 for l in sam.splitlines() if l and not l.startswith("@"))
+    assert n_lines >= N_READS
+    rps = N_READS / dt
+    print(f"[bench] {N_READS} reads in {dt:.2f}s", file=sys.stderr)
+    print(timers.report(), file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "reads/sec/chip (100bp Illumina, e<=3%)",
+        "value": round(rps, 1),
+        "unit": "reads/s",
+        "vs_baseline": round(rps / NOMINAL_REFERENCE_READS_PER_S, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

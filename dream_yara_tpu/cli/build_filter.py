@@ -1,0 +1,70 @@
+"""dream-yara-tpu-build-filter — build the IBF / k-mer prefilter.
+
+Analog of reference src/d_build_filter.cpp [U] (SURVEY.md §2.1/§3.3):
+streams every bin fasta, inserts k-mers into the chosen filter, serializes
+one filter file into the database dir.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+from .common import expand_bin_paths, parse_size
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(
+        prog="dream-yara-tpu-build-filter",
+        description="Build the DREAM prefilter over all bins.")
+    p.add_argument("bins", nargs="*", help="bin fasta files (bin order)")
+    p.add_argument("--bins-dir", help="directory of bin fastas (sorted)")
+    p.add_argument("-o", "--output-dir", required=True, help="database directory")
+    p.add_argument("-ft", "--filter-type", default="bloom",
+                   choices=["bloom", "kmer_direct", "none"])
+    p.add_argument("-bs", "--bloom-size", default="64m",
+                   help="filter size in BITS, e.g. 1g, 512m (bloom only)")
+    p.add_argument("-k", "--kmer-size", type=int, default=19)
+    p.add_argument("-nh", "--num-hashes", type=int, default=3)
+    p.add_argument("-t", "--threads", type=int, default=1)
+    p.add_argument("-v", "--verbose", action="count", default=0)
+    a = p.parse_args(argv)
+
+    if a.filter_type == "none":
+        print("[build-filter] filter-type none: nothing to build", file=sys.stderr)
+        return
+
+    from ..index.ibf import InterleavedBloomFilter
+    from ..index.kdx import DirectKmerFilter
+    from ..io.fasta import read_fasta
+
+    paths = expand_bin_paths(a.bins, a.bins_dir)
+    t0 = time.time()
+    if a.filter_type == "bloom":
+        filt = InterleavedBloomFilter.create(
+            bins=len(paths), size_bits=parse_size(a.bloom_size),
+            n_hashes=a.num_hashes, k=a.kmer_size)
+        out_name = "db.filter"
+    else:
+        filt = DirectKmerFilter.create(bins=len(paths), k=a.kmer_size)
+        out_name = "db.kdx"
+
+    for b, fasta in enumerate(paths):
+        _, seqs = read_fasta(fasta)
+        for s in seqs:
+            filt.add_kmers(s, b)
+        if a.verbose:
+            print(f"[build-filter] bin {b}: {len(seqs)} contigs", file=sys.stderr)
+
+    db_dir = Path(a.output_dir)
+    db_dir.mkdir(parents=True, exist_ok=True)
+    filt.save(db_dir / out_name)
+    print(f"[build-filter] {a.filter_type} filter over {len(paths)} bins "
+          f"({filt.words.nbytes >> 20} MiB) in {time.time() - t0:.1f}s",
+          file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

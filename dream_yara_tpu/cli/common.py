@@ -1,0 +1,30 @@
+"""Shared CLI helpers (analog of reference src/d_misc_options.h [U])."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+FASTA_EXTS = (".fa", ".fna", ".fasta", ".fa.gz", ".fna.gz", ".fasta.gz")
+
+
+def expand_bin_paths(bins: list[str], bins_dir: str | None) -> list[Path]:
+    """Bin fasta list from explicit paths or a directory (sorted — bin order
+    is the filename sort order, reference getFilesInDir [U])."""
+    if bins_dir:
+        paths = sorted(p for p in Path(bins_dir).iterdir()
+                       if p.name.endswith(FASTA_EXTS))
+        if not paths:
+            sys.exit(f"error: no fasta files found in {bins_dir}")
+        return paths
+    return [Path(b) for b in bins]
+
+
+def parse_size(s: str) -> int:
+    """'4g' / '512m' / '65536' -> bits (reference --bloom-size spelling [U])."""
+    s = s.strip().lower()
+    mult = 1
+    if s and s[-1] in "kmg":
+        mult = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30}[s[-1]]
+        s = s[:-1]
+    return int(float(s) * mult)

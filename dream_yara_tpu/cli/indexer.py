@@ -1,0 +1,83 @@
+"""dream-yara-tpu-indexer — build one FM-index per bin.
+
+Analog of reference src/d_indexer.cpp [U] (SURVEY.md §2.1/§3.2): loops over
+bin fastas, builds contig store + FM-index per bin, writes per-bin artifacts
+<db>/bins/NNNN.{store,fm}.npz + <db>/meta.json. --bin-id rebuilds a single
+bin in place without touching the others (the dynamic update path, config 4
+in BASELINE.json — pair with dream-yara-tpu-update-filter).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from concurrent.futures import ProcessPoolExecutor
+from pathlib import Path
+
+from .common import expand_bin_paths
+
+
+def build_one_bin(args):
+    fasta, db_dir, bin_id, sample_rate = args
+    from ..index.fmindex import FMIndex
+    from ..io.seqstore import SeqStore
+    from .common import FASTA_EXTS  # noqa: F401
+    from ..pipeline.dis_mapper import bin_file
+
+    t0 = time.time()
+    store = SeqStore.from_fasta(fasta)
+    fm = FMIndex.build(store.text, sample_rate=sample_rate)
+    (Path(db_dir) / "bins").mkdir(parents=True, exist_ok=True)
+    store.save(bin_file(db_dir, bin_id, "store"))
+    fm.save(bin_file(db_dir, bin_id, "fm"))
+    return bin_id, fm.n, time.time() - t0
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(
+        prog="dream-yara-tpu-indexer",
+        description="Build per-bin FM-indices for the DREAM database.")
+    p.add_argument("bins", nargs="*", help="bin fasta files (bin order)")
+    p.add_argument("--bins-dir", help="directory of bin fastas (sorted)")
+    p.add_argument("-o", "--output-dir", required=True, help="database directory")
+    p.add_argument("--sample-rate", type=int, default=1,
+                   help="SA sampling rate (1 = full SA)")
+    p.add_argument("-t", "--threads", type=int, default=1,
+                   help="parallel bin builds (processes)")
+    p.add_argument("--bin-id", type=int, default=None,
+                   help="rebuild ONLY this bin id from the single given fasta")
+    p.add_argument("-v", "--verbose", action="count", default=0)
+    a = p.parse_args(argv)
+
+    db_dir = Path(a.output_dir)
+    db_dir.mkdir(parents=True, exist_ok=True)
+
+    if a.bin_id is not None:
+        paths = expand_bin_paths(a.bins, a.bins_dir)
+        if len(paths) != 1:
+            sys.exit("error: --bin-id expects exactly one replacement fasta")
+        bin_id, n, dt = build_one_bin((paths[0], db_dir, a.bin_id, a.sample_rate))
+        print(f"[indexer] rebuilt bin {bin_id} ({n} bp) in {dt:.1f}s",
+              file=sys.stderr)
+        return
+
+    paths = expand_bin_paths(a.bins, a.bins_dir)
+    jobs = [(f, db_dir, b, a.sample_rate) for b, f in enumerate(paths)]
+    t0 = time.time()
+    if a.threads > 1:
+        with ProcessPoolExecutor(max_workers=a.threads) as ex:
+            results = list(ex.map(build_one_bin, jobs))
+    else:
+        results = [build_one_bin(j) for j in jobs]
+    meta = {"n_bins": len(paths), "sample_rate": a.sample_rate,
+            "bin_files": [str(f) for f in paths]}
+    (db_dir / "meta.json").write_text(json.dumps(meta, indent=1))
+    total = sum(n for _, n, _ in results)
+    print(f"[indexer] {len(paths)} bins, {total} bp total, "
+          f"{time.time() - t0:.1f}s wall", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,89 @@
+"""dream-yara-tpu-mapper — map reads against the DREAM database.
+
+Analog of reference src/d_mapper.cpp [U] (SURVEY.md §2.1/§3.1). Flag surface
+mirrors the reference spellings (SURVEY.md §5.6): -e/--error-rate,
+-s/--strata-count, -y/--sensitivity, -sm/--secondary-matches,
+-ll/--library-length, -ld/--library-deviation, -t/--threads,
+-rb/--reads-batch, -ft/--filter-type, -o/--output-file, -v/--verbose.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(
+        prog="dream-yara-tpu-mapper",
+        description="TPU-native DREAM read mapper (SE or PE).")
+    p.add_argument("db_dir", help="database directory from the indexer")
+    p.add_argument("reads", help="FASTQ (optionally .gz)")
+    p.add_argument("reads2", nargs="?", default=None, help="mate FASTQ (PE mode)")
+    p.add_argument("-o", "--output-file", default="-")
+    p.add_argument("-e", "--error-rate", type=float, default=0.05,
+                   help="max errors as fraction of read length")
+    p.add_argument("-s", "--strata-count", type=int, default=0)
+    p.add_argument("-y", "--sensitivity", default="high",
+                   choices=["low", "high", "full"])
+    p.add_argument("-sm", "--secondary-matches", default="tag",
+                   choices=["tag", "record", "omit"])
+    p.add_argument("-i", "--indels", default="on", choices=["on", "off"])
+    p.add_argument("-ll", "--library-length", type=int, default=200)
+    p.add_argument("-ld", "--library-deviation", type=int, default=100)
+    p.add_argument("--no-rescue", action="store_true")
+    p.add_argument("-t", "--threads", type=int, default=1)
+    p.add_argument("-rb", "--reads-batch", type=int, default=100_000)
+    p.add_argument("-ft", "--filter-type", default="bloom",
+                   choices=["bloom", "kmer_direct", "none"])
+    p.add_argument("-v", "--verbose", action="count", default=0)
+    a = p.parse_args(argv)
+
+    from ..io.fastq import FastqBatchReader
+    from ..pipeline.dis_mapper import DreamIndex, dream_map_sam
+    from ..utils.options import MapperOptions
+    from ..utils.timer import StageTimers
+
+    opts = MapperOptions(
+        error_rate=a.error_rate, strata_count=a.strata_count,
+        sensitivity=a.sensitivity, secondary_matches=a.secondary_matches,
+        indels=a.indels == "on", library_length=a.library_length,
+        library_deviation=a.library_deviation, rescue=not a.no_rescue,
+        threads=a.threads, reads_batch=a.reads_batch,
+        filter_type=a.filter_type, output_file=a.output_file,
+        verbose=a.verbose)
+
+    t0 = time.time()
+    index = DreamIndex.load(a.db_dir, filter_type=a.filter_type)
+    timers = StageTimers()
+    timers.add("load index", time.time() - t0)
+
+    out = (sys.stdout if a.output_file in ("-", "")
+           else open(a.output_file, "w"))
+    reader = FastqBatchReader(a.reads, a.reads2, batch_size=a.reads_batch)
+    n_reads = 0
+    t0 = time.time()
+    cmdline = " ".join(argv if argv is not None else sys.argv[1:])
+    try:
+        for i, batch in enumerate(reader):
+            sam = dream_map_sam(index, batch, opts, cmdline=cmdline,
+                                timers=timers, header=(i == 0))
+            out.write(sam)
+            n_reads += batch.n_reads
+            if a.verbose:
+                print(f"[mapper] batch {i}: {batch.n_reads} reads "
+                      f"({n_reads / (time.time() - t0):.0f} reads/s cum)",
+                      file=sys.stderr)
+    finally:
+        if out is not sys.stdout:
+            out.close()
+    dt = time.time() - t0
+    print(f"[mapper] {n_reads} reads in {dt:.1f}s "
+          f"({n_reads / max(dt, 1e-9):.0f} reads/s)", file=sys.stderr)
+    if a.verbose:
+        print(timers.report(), file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,231 @@
+"""DREAM orchestration: IBF routing + per-bin mapping + global merge.
+
+Reference analog: src/d_mapper.h runDisMapper/_mapReadsImpl + DisOptions [U]
+(SURVEY.md §2.2, §3.1): load the filter, classify reads to candidate bins,
+map each bin's read subset with the Yara core, copy matches back with the
+bin's contig offset, then globally rank/pair/align/write.
+
+Single-host edition: bins loop on one device (the mesh-sharded edition lives
+in parallel/dist_mapper.py and reuses these stages shard-locally).
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..index.fmindex import FMIndex
+from ..index.ibf import InterleavedBloomFilter
+from ..index.kdx import DirectKmerFilter
+from ..io.readstore import ReadBatch
+from ..io.seqstore import SeqStore
+from ..ops.ibf_query import ibf_bin_counts
+from ..utils.options import MapperOptions
+from ..utils.timer import StageTimers
+from .cigar import compute_cigars
+from .mapper import BinMapper, FALLBACK_PAD
+from .map_step import verify_positions
+from .matches import Matches, Ranked, build_matches, dedup_matches, rank_matches
+from .pairs import rescue_candidates, select_pairs
+from .seeding import max_errors_for_batch, rate_to_ppm
+from .writer import GlobalContigs, sam_header, write_pe_records, write_se_records
+
+IBF_CHUNK = 4096  # seq rows per device IBF query
+
+
+def bin_file(db_dir, bin_id: int, kind: str) -> Path:
+    """Zero-padded per-bin artifact path (reference appendFileName [U])."""
+    return Path(db_dir) / "bins" / f"{bin_id:04d}.{kind}.npz"
+
+
+class DreamIndex:
+    """All per-bin artifacts + the prefilter, loaded from a database dir."""
+
+    def __init__(self, stores: list[SeqStore], fms: list[FMIndex], filt,
+                 filter_type: str = "bloom"):
+        self.stores = stores
+        self.fms = fms
+        self.filter = filt
+        self.filter_type = filter_type if filt is not None else "none"
+        self.contigs = GlobalContigs.from_stores(stores)
+        self.global_text = np.concatenate([st.text for st in stores])
+        self._bin_mappers: dict[int, BinMapper] = {}
+
+    @property
+    def n_bins(self) -> int:
+        return len(self.stores)
+
+    @classmethod
+    def load(cls, db_dir, filter_type: str = "bloom") -> "DreamIndex":
+        db_dir = Path(db_dir)
+        meta = json.loads((db_dir / "meta.json").read_text())
+        stores, fms = [], []
+        for b in range(meta["n_bins"]):
+            stores.append(SeqStore.load(bin_file(db_dir, b, "store")))
+            fms.append(FMIndex.load(bin_file(db_dir, b, "fm")))
+        filt = None
+        if filter_type == "bloom" and (db_dir / "db.filter.npz").exists():
+            filt = InterleavedBloomFilter.load(db_dir / "db.filter")
+        elif filter_type == "kmer_direct" and (db_dir / "db.kdx.npz").exists():
+            filt = DirectKmerFilter.load(db_dir / "db.kdx")
+        return cls(stores, fms, filt, filter_type)
+
+    def bin_mapper(self, b: int, opts: MapperOptions,
+                   timers: StageTimers | None = None) -> BinMapper:
+        if b not in self._bin_mappers:
+            self._bin_mappers[b] = BinMapper(self.stores[b], self.fms[b], opts,
+                                             timers=timers)
+        return self._bin_mappers[b]
+
+
+def classify_reads(index: DreamIndex, batch: ReadBatch, opts: MapperOptions,
+                   timers: StageTimers | None = None) -> np.ndarray:
+    """Candidate bin mask per read: (n_reads, n_bins) bool.
+
+    Reference clasifyLoadedReads [U] (sic): one filter query per read
+    orientation; a read routes to a bin if EITHER orientation passes the
+    k-mer-lemma threshold. filter_type none -> all bins.
+    """
+    n = batch.n_reads
+    B = index.n_bins
+    if index.filter_type == "none" or index.filter is None:
+        return np.ones((n, B), dtype=bool)
+    filt = index.filter
+    rate_ppm = rate_to_ppm(opts.error_rate)
+    words = jnp.asarray(filt.words)
+    R2 = 2 * n
+    lengths2 = np.concatenate([batch.lengths, batch.lengths]).astype(np.int32)
+    thresholds = np.maximum(
+        (lengths2 - filt.k + 1) - filt.k * ((lengths2 * rate_ppm) // 10_000), 1)
+    mask2 = np.zeros((R2, B), dtype=bool)
+    for c0 in range(0, R2, IBF_CHUNK):
+        rows = batch.seqs[c0 : c0 + IBF_CHUNK]
+        k = len(rows)
+        pad = IBF_CHUNK - k
+        if pad:
+            rows = np.concatenate(
+                [rows, np.full((pad, rows.shape[1]), 4, np.int8)])
+        lens = np.concatenate([lengths2[c0 : c0 + k], np.zeros(pad, np.int32)])
+        counts = np.asarray(ibf_bin_counts(
+            words, jnp.asarray(rows), jnp.asarray(lens), filt.k, filt.n_hashes))
+        mask2[c0 : c0 + k] = counts[:k, :B] >= thresholds[c0 : c0 + k, None]
+    return mask2[:n] | mask2[n:]
+
+
+def _sub_batch(batch: ReadBatch, ids: np.ndarray) -> ReadBatch:
+    n = batch.n_reads
+    return ReadBatch(
+        names=[batch.names[i] for i in ids],
+        seqs=batch.seqs[np.concatenate([ids, n + ids])],
+        lengths=batch.lengths[ids],
+        quals=[batch.quals[i] for i in ids],
+        paired=False,
+    )
+
+
+def dis_map_batch(index: DreamIndex, batch: ReadBatch, opts: MapperOptions,
+                  timers: StageTimers | None = None) -> Matches:
+    """Matches in GLOBAL coordinates across all candidate bins."""
+    routing = classify_reads(index, batch, opts, timers)
+    parts: list[Matches] = []
+    for b in range(index.n_bins):
+        ids = np.flatnonzero(routing[:, b])
+        if len(ids) == 0:
+            continue
+        sub = _sub_batch(batch, ids)
+        bm = index.bin_mapper(b, opts, timers)
+        m = bm.map_batch(sub)
+        # copyMatches [U]: bin-local -> global coords + batch read ids
+        off = int(index.contigs.bin_starts[b])
+        m.begin += off
+        m.end += off
+        m.read_id = ids[m.read_id].astype(np.int32)
+        parts.append(m)
+    return Matches.concat(parts)
+
+
+def _rescue_global(index: DreamIndex, batch: ReadBatch, ranked: Ranked,
+                   opts: MapperOptions, max_err: int, rate_ppm: int) -> Matches:
+    """Mate rescue with bin-aware anchors (window may be in any bin)."""
+    cands = rescue_candidates(ranked, batch.n_reads, batch.lengths,
+                              opts.library_length, opts.library_deviation,
+                              band=max_err)
+    if len(cands.rows) == 0:
+        return Matches.concat([])
+    bin_of = np.searchsorted(index.contigs.bin_starts, cands.anchors,
+                             side="right") - 1
+    bin_of = np.clip(bin_of, 0, index.n_bins - 1)
+    parts = []
+    n = batch.n_reads
+    reads_j = jnp.asarray(batch.seqs)
+    lens_j = jnp.asarray(batch.lengths)
+    for b in np.unique(bin_of):
+        sel = bin_of == b
+        rows = cands.rows[sel]
+        anchors = (cands.anchors[sel]
+                   - int(index.contigs.bin_starts[b])).astype(np.int32)
+        bm = index.bin_mapper(int(b), opts)
+        for b0 in range(0, len(rows), FALLBACK_PAD):
+            rb = rows[b0 : b0 + FALLBACK_PAD]
+            ab = anchors[b0 : b0 + FALLBACK_PAD]
+            padn = FALLBACK_PAD - len(rb)
+            mask = np.concatenate([np.ones(len(rb), bool), np.zeros(padn, bool)])
+            rb = np.concatenate([rb, np.zeros(padn, np.int32)])
+            ab = np.concatenate([ab, np.zeros(padn, np.int32)])
+            dist, beg, end = verify_positions(
+                bm.dev, reads_j, lens_j, jnp.asarray(rb), jnp.asarray(ab),
+                jnp.asarray(mask), max_errors=max_err)
+            dist, beg, end = np.asarray(dist), np.asarray(beg), np.asarray(end)
+            budget = (batch.lengths[rb % n] * rate_ppm) // 10_000
+            ok = mask & (dist <= budget) & (beg >= 0) & (end <= bm.fm.n)
+            mm = build_matches(rb, beg, end, dist, ok, n_reads=n)
+            off = int(index.contigs.bin_starts[b])
+            mm.begin += off
+            mm.end += off
+            parts.append(mm)
+    return Matches.concat(parts)
+
+
+def dream_map_sam(index: DreamIndex, batch: ReadBatch, opts: MapperOptions,
+                  cmdline: str = "", timers: StageTimers | None = None,
+                  header: bool = True) -> str:
+    """Full DREAM pipeline for one batch -> SAM text."""
+    timers = timers or StageTimers()
+    m = dis_map_batch(index, batch, opts, timers)
+    rate_ppm = rate_to_ppm(opts.error_rate)
+    max_err = max(1, max_errors_for_batch(batch.max_len, opts.error_rate))
+
+    def finish(mm: Matches) -> Ranked:
+        ok = index.contigs.same_contig_span(mm.begin, mm.end)
+        return rank_matches(dedup_matches(mm.take(ok)), batch.n_reads,
+                            strata_count=opts.strata_count)
+
+    with timers.stage("rank/dedup (host)"):
+        ranked = finish(m)
+    if batch.paired and opts.rescue:
+        with timers.stage("mate rescue"):
+            rescued = _rescue_global(index, batch, ranked, opts, max_err, rate_ppm)
+            if len(rescued):
+                ranked = finish(Matches.concat([m, rescued]))
+
+    with timers.stage("cigar (host)"):
+        rows = (ranked.matches.read_id +
+                ranked.matches.strand.astype(np.int32) * batch.n_reads)
+        cigars = compute_cigars(index.global_text, batch.seqs, rows,
+                                batch.lengths[ranked.matches.read_id],
+                                ranked.matches.begin, ranked.matches.end, max_err)
+
+    with timers.stage("sam write (host)"):
+        lines = sam_header(index.contigs, cmdline) if header else []
+        if batch.paired:
+            pair_info = select_pairs(ranked, batch.n_reads, index.contigs,
+                                     opts.library_length, opts.library_deviation)
+            lines += write_pe_records(batch, index.contigs, ranked, cigars,
+                                      pair_info, secondary_mode=opts.secondary_matches)
+        else:
+            lines += write_se_records(batch, index.contigs, ranked, cigars,
+                                      secondary_mode=opts.secondary_matches)
+    return "\n".join(lines) + "\n"

@@ -156,8 +156,85 @@ def map_single_bin(store: SeqStore, fm: FMIndex, batch: ReadBatch,
 
 def single_bin_sam(store: SeqStore, fm: FMIndex, batch: ReadBatch,
                    opts: MapperOptions, cmdline: str = "") -> str:
+    if batch.paired:
+        return paired_bin_sam(store, fm, batch, opts, cmdline)
     ranked, cigars, contigs = map_single_bin(store, fm, batch, opts)
     lines = sam_header(contigs, cmdline)
     lines += write_se_records(batch, contigs, ranked, cigars,
+                              secondary_mode=opts.secondary_matches)
+    return "\n".join(lines) + "\n"
+
+
+def rescue_mates(mapper: BinMapper, batch: ReadBatch, ranked: Ranked,
+                 opts: MapperOptions, max_err: int, rate_ppm: int) -> Matches:
+    """Mate rescue: verify unmapped mates in the insert window around their
+    mapped partner (reference mapper_verifier.h [U], SURVEY.md §3.5)."""
+    from .pairs import rescue_candidates
+
+    cands = rescue_candidates(ranked, batch.n_reads, batch.lengths,
+                              opts.library_length, opts.library_deviation,
+                              band=max_err)
+    if len(cands.rows) == 0:
+        return Matches.concat([])
+    n = batch.n_reads
+    parts = []
+    reads_j = jnp.asarray(batch.seqs)
+    lens_j = jnp.asarray(batch.lengths)
+    for b0 in range(0, len(cands.rows), FALLBACK_PAD):
+        rb = cands.rows[b0 : b0 + FALLBACK_PAD]
+        ab = cands.anchors[b0 : b0 + FALLBACK_PAD]
+        padn = FALLBACK_PAD - len(rb)
+        mask = np.concatenate([np.ones(len(rb), bool), np.zeros(padn, bool)])
+        rb = np.concatenate([rb, np.zeros(padn, np.int32)])
+        ab = np.concatenate([ab, np.zeros(padn, np.int32)])
+        dist, beg, end = verify_positions(
+            mapper.dev, reads_j, lens_j, jnp.asarray(rb), jnp.asarray(ab),
+            jnp.asarray(mask), max_errors=max_err)
+        dist, beg, end = np.asarray(dist), np.asarray(beg), np.asarray(end)
+        budget = (batch.lengths[rb % n] * rate_ppm) // 10_000
+        ok = mask & (dist <= budget) & (beg >= 0) & (end <= mapper.fm.n)
+        parts.append(build_matches(rb, beg, end, dist, ok, n_reads=n))
+    return Matches.concat(parts)
+
+
+def map_paired_bin(store: SeqStore, fm: FMIndex, batch: ReadBatch,
+                   opts: MapperOptions):
+    """Full single-bin PE pipeline: map both mates, rescue, pair, CIGARs."""
+    from .pairs import select_pairs
+
+    mapper = BinMapper(store, fm, opts)
+    m = mapper.map_batch(batch)
+    contigs = GlobalContigs.from_stores([store])
+    rate_ppm = rate_to_ppm(opts.error_rate)
+    max_err = max(1, max_errors_for_batch(batch.max_len, opts.error_rate))
+
+    def finish(mm: Matches) -> Ranked:
+        ok = contigs.same_contig_span(mm.begin, mm.end)
+        return rank_matches(dedup_matches(mm.take(ok)), batch.n_reads,
+                            strata_count=opts.strata_count)
+
+    ranked = finish(m)
+    if opts.rescue:
+        rescued = rescue_mates(mapper, batch, ranked, opts, max_err, rate_ppm)
+        if len(rescued):
+            ranked = finish(Matches.concat([m, rescued]))
+
+    pair_info = select_pairs(ranked, batch.n_reads, contigs,
+                             opts.library_length, opts.library_deviation)
+    rows = (ranked.matches.read_id +
+            ranked.matches.strand.astype(np.int32) * batch.n_reads)
+    cigars = compute_cigars(store.text, batch.seqs, rows,
+                            batch.lengths[ranked.matches.read_id],
+                            ranked.matches.begin, ranked.matches.end, max_err)
+    return ranked, cigars, contigs, pair_info
+
+
+def paired_bin_sam(store: SeqStore, fm: FMIndex, batch: ReadBatch,
+                   opts: MapperOptions, cmdline: str = "") -> str:
+    from .writer import write_pe_records
+
+    ranked, cigars, contigs, pair_info = map_paired_bin(store, fm, batch, opts)
+    lines = sam_header(contigs, cmdline)
+    lines += write_pe_records(batch, contigs, ranked, cigars, pair_info,
                               secondary_mode=opts.secondary_matches)
     return "\n".join(lines) + "\n"

@@ -90,6 +90,110 @@ def _seq_qual(batch: ReadBatch, read_id: int, strand: int) -> tuple[str, str]:
     return seq, qual
 
 
+def write_pe_records(batch: ReadBatch, contigs: GlobalContigs, ranked,
+                     cigars: list[str], pair_info,
+                     secondary_mode: str = "tag") -> list[str]:
+    """Paired-end records. Reads [0,h) are first mates, [h,2h) second mates.
+
+    TLEN (both mates mapped, same contig): rightmost end - leftmost begin,
+    positive on the leftmost mate (mate1 wins ties). Unmapped read with a
+    mapped mate takes the mate's RNAME/POS (SAM pairing convention).
+    """
+    from .mapq import compute_mapq
+
+    m = ranked.matches
+    mapq = compute_mapq(ranked.c1, ranked.c2)
+    n = batch.n_reads
+    h = n // 2
+    if len(m):
+        cid_all, lpos_all = contigs.local_pos(m.begin)
+    else:
+        cid_all = lpos_all = np.zeros(0, dtype=np.int64)
+    grp_start = np.searchsorted(m.read_id, np.arange(n), side="left")
+    grp_end = np.searchsorted(m.read_id, np.arange(n), side="right")
+    prim = pair_info.primary_idx
+
+    lines = []
+    for rid in range(n):
+        mate = rid + h if rid < h else rid - h
+        mate_flag = FLAG_FIRST if rid < h else FLAG_LAST
+        name = batch.names[rid]
+        my_p, mate_p = int(prim[rid]), int(prim[mate])
+        mapped = my_p >= 0
+        mate_mapped = mate_p >= 0
+
+        flag = FLAG_PAIRED | mate_flag
+        if not mapped:
+            flag |= FLAG_UNMAPPED
+        if not mate_mapped:
+            flag |= FLAG_MATE_UNMAPPED
+        if mapped and m.strand[my_p]:
+            flag |= FLAG_RC
+        if mate_mapped and m.strand[mate_p]:
+            flag |= FLAG_MATE_RC
+        if pair_info.proper[rid]:
+            flag |= FLAG_PROPER
+
+        if mate_mapped:
+            mate_cid = int(cid_all[mate_p])
+            mate_pos1 = int(lpos_all[mate_p]) + 1
+        if not mapped:
+            seq, qual = _seq_qual(batch, rid, 0)
+            if mate_mapped:
+                rname = contigs.names[mate_cid]
+                lines.append(f"{name}\t{flag}\t{rname}\t{mate_pos1}\t0\t*"
+                             f"\t=\t{mate_pos1}\t0\t{seq}\t{qual}")
+            else:
+                lines.append(f"{name}\t{flag}\t*\t0\t0\t*\t*\t0\t0\t{seq}\t{qual}")
+            continue
+
+        my_cid = int(cid_all[my_p])
+        my_pos1 = int(lpos_all[my_p]) + 1
+        if mate_mapped:
+            if mate_cid == my_cid:
+                rnext, pnext = "=", mate_pos1
+                left = (int(m.begin[my_p]), rid >= h)
+                lmate = (int(m.begin[mate_p]), mate >= h)
+                t = int(max(m.end[my_p], m.end[mate_p])
+                        - min(m.begin[my_p], m.begin[mate_p]))
+                tlen = t if left < lmate else -t
+            else:
+                rnext, pnext, tlen = contigs.names[mate_cid], mate_pos1, 0
+        else:
+            rnext, pnext, tlen = "=", my_pos1, 0
+
+        strand = int(m.strand[my_p])
+        seq, qual = _seq_qual(batch, rid, strand)
+        tags = [f"NM:i:{int(m.dist[my_p])}"]
+        s, e = int(grp_start[rid]), int(grp_end[rid])
+        if secondary_mode == "tag" and e - s > 1:
+            alts = []
+            for mj in range(s, e):
+                if mj == my_p:
+                    continue
+                cj = int(cid_all[mj])
+                st = "-" if m.strand[mj] else "+"
+                alts.append(f"{contigs.names[cj]},{st}{int(lpos_all[mj]) + 1},"
+                            f"{cigars[mj]},{int(m.dist[mj])}")
+            tags.append("XA:Z:" + ";".join(alts) + ";")
+        lines.append(f"{name}\t{flag}\t{contigs.names[my_cid]}\t{my_pos1}"
+                     f"\t{int(mapq[rid])}\t{cigars[my_p]}\t{rnext}\t{pnext}"
+                     f"\t{tlen}\t{seq}\t{qual}\t" + "\t".join(tags))
+        if secondary_mode == "record":
+            for mj in range(s, e):
+                if mj == my_p:
+                    continue
+                sflag = (FLAG_PAIRED | mate_flag | FLAG_SECONDARY
+                         | (FLAG_RC if m.strand[mj] else 0)
+                         | (0 if mate_mapped else FLAG_MATE_UNMAPPED)
+                         | (FLAG_MATE_RC if mate_mapped and m.strand[mate_p] else 0))
+                cj = int(cid_all[mj])
+                lines.append(f"{name}\t{sflag}\t{contigs.names[cj]}"
+                             f"\t{int(lpos_all[mj]) + 1}\t0\t{cigars[mj]}"
+                             f"\t*\t0\t0\t*\t*\tNM:i:{int(m.dist[mj])}")
+    return lines
+
+
 def write_se_records(batch: ReadBatch, contigs: GlobalContigs, ranked,
                      cigars: list[str], secondary_mode: str = "tag") -> list[str]:
     """Single-end records, one primary per read (+ secondaries per mode).

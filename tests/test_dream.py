@@ -1,0 +1,134 @@
+"""Multi-bin DREAM orchestration: routing, merge, dynamic update (configs 2/4)."""
+
+import numpy as np
+import pytest
+
+from dream_yara_tpu.golden.golden_mapper import golden_map_se
+from dream_yara_tpu.index.fmindex import FMIndex
+from dream_yara_tpu.index.ibf import InterleavedBloomFilter
+from dream_yara_tpu.io.readstore import ReadBatch
+from dream_yara_tpu.io.seqstore import SeqStore
+from dream_yara_tpu.pipeline.dis_mapper import (
+    DreamIndex, classify_reads, dis_map_batch, dream_map_sam,
+)
+from dream_yara_tpu.utils.alphabet import revcomp
+from dream_yara_tpu.utils.options import MapperOptions
+from tests.conftest import mutate, random_text
+
+
+@pytest.fixture(scope="module")
+def dream_db():
+    rng = np.random.default_rng(21)
+    B = 4
+    genomes = [random_text(rng, 8000) for _ in range(B)]
+    stores = [SeqStore.from_seqs([f"b{b}c0"], [genomes[b]]) for b in range(B)]
+    fms = [FMIndex.build(st.text) for st in stores]
+    ibf = InterleavedBloomFilter.create(B, size_bits=1 << 22, n_hashes=3, k=19)
+    for b, g in enumerate(genomes):
+        ibf.add_kmers(g, b)
+    return rng, genomes, DreamIndex(stores, fms, ibf, "bloom")
+
+
+def planted_batch(rng, genomes, n_per_bin=6, read_len=100):
+    names, reads, truth = [], [], []
+    for b, g in enumerate(genomes):
+        for i in range(n_per_bin):
+            p = int(rng.integers(0, len(g) - read_len))
+            r = mutate(rng, g[p : p + read_len].copy(), n_sub=2)
+            strand = int(rng.random() < 0.5)
+            if strand:
+                r = revcomp(r)
+            names.append(f"b{b}r{i}")
+            reads.append(r)
+            truth.append((b, p, strand))
+    return ReadBatch.from_reads(names, reads), truth
+
+
+def test_routing(dream_db):
+    rng, genomes, index = dream_db
+    batch, truth = planted_batch(rng, genomes)
+    opts = MapperOptions(error_rate=0.03)
+    routing = classify_reads(index, batch, opts)
+    for rid, (b, p, strand) in enumerate(truth):
+        assert routing[rid, b], f"read {rid} not routed to its bin {b}"
+    # routing should be selective: on random genomes each read hits ~1 bin
+    assert routing.sum() <= len(truth) * 2
+
+
+def test_dis_map_global_coords(dream_db):
+    rng, genomes, index = dream_db
+    batch, truth = planted_batch(rng, genomes)
+    opts = MapperOptions(error_rate=0.03)
+    m = dis_map_batch(index, batch, opts)
+    for rid, (b, p, strand) in enumerate(truth):
+        sel = np.flatnonzero((m.read_id == rid) & (m.dist <= 2))
+        glob = int(index.contigs.bin_starts[b]) + p
+        assert any(int(m.begin[i]) == glob and int(m.strand[i]) == strand
+                   for i in sel), f"read {rid}"
+
+
+def test_dream_sam_rname(dream_db):
+    rng, genomes, index = dream_db
+    batch, truth = planted_batch(rng, genomes, n_per_bin=3)
+    opts = MapperOptions(error_rate=0.03)
+    sam = dream_map_sam(index, batch, opts)
+    recs = {l.split("\t")[0]: l.split("\t")
+            for l in sam.strip().split("\n") if not l.startswith("@")}
+    for rid, (b, p, strand) in enumerate(truth):
+        r = recs[f"b{b}r{rid % 3}"] if False else recs[batch.names[rid]]
+        assert r[2] == f"b{b}c0"
+        assert int(r[3]) == p + 1
+        assert (int(r[1]) & 0x10 != 0) == bool(strand)
+
+
+def test_filter_none_equals_bloom(dream_db):
+    """--filter-type none must give the identical match set (correctness mode)."""
+    rng, genomes, index = dream_db
+    batch, truth = planted_batch(rng, genomes, n_per_bin=2)
+    opts = MapperOptions(error_rate=0.03)
+    sam_bloom = dream_map_sam(index, batch, opts)
+    index_none = DreamIndex(index.stores, index.fms, None, "none")
+    index_none._bin_mappers = index._bin_mappers  # reuse device arrays
+    sam_none = dream_map_sam(index_none, batch, opts)
+    assert sam_bloom == sam_none
+
+
+def test_dynamic_update(dream_db):
+    """Config 4: replace one bin; other bins' results byte-stable."""
+    rng, genomes, index = dream_db
+    opts = MapperOptions(error_rate=0.03)
+    batch, truth = planted_batch(rng, genomes, n_per_bin=4)
+    sam_before = dream_map_sam(index, batch, opts)
+
+    # replace bin 2 with a new genome
+    new_g = random_text(rng, 8000)
+    new_store = SeqStore.from_seqs(["b2c0"], [new_g])
+    new_fm = FMIndex.build(new_store.text)
+    ibf2 = InterleavedBloomFilter(
+        bins=index.filter.bins, n_rows=index.filter.n_rows,
+        n_hashes=index.filter.n_hashes, k=index.filter.k,
+        words=index.filter.words.copy())
+    ibf2.clear_bins([2])
+    ibf2.add_kmers(new_g, 2)
+    stores2 = list(index.stores); stores2[2] = new_store
+    fms2 = list(index.fms); fms2[2] = new_fm
+    index2 = DreamIndex(stores2, fms2, ibf2, "bloom")
+
+    # reads planted in the NEW bin 2 map there now
+    p = 1234
+    r_new = new_g[p : p + 100]
+    nb = ReadBatch.from_reads(["new"], [r_new])
+    sam_new = dream_map_sam(index2, nb, opts)
+    rec = [l.split("\t") for l in sam_new.strip().split("\n")
+           if not l.startswith("@")][0]
+    assert rec[2] == "b2c0" and int(rec[3]) == p + 1
+
+    # reads from untouched bins give byte-identical records
+    sam_after = dream_map_sam(index2, batch, opts)
+    rec_b = {l.split("\t")[0]: l for l in sam_before.splitlines()
+             if not l.startswith("@")}
+    rec_a = {l.split("\t")[0]: l for l in sam_after.splitlines()
+             if not l.startswith("@")}
+    for rid, (b, _, _) in enumerate(truth):
+        if b != 2:
+            assert rec_a[batch.names[rid]] == rec_b[batch.names[rid]]
