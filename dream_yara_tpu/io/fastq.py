@@ -66,6 +66,48 @@ class FastqBatchReader:
         self.prefetch = prefetch
 
     def _batches(self):
+        try:
+            from ..native import seqio as nat
+            if nat.available():
+                yield from self._batches_native(nat)
+                return
+        except Exception:
+            pass  # fall back to the pure-Python parser
+        yield from self._batches_python()
+
+    def _batches_native(self, nat, max_len: int = 512):
+        """C++ chunk parser -> dense matrices -> ReadBatch (no per-record
+        Python objects; see native/seqio.cpp)."""
+        p1 = nat.FastqChunkParser(self.path1, max_len=max_len)
+        p2 = nat.FastqChunkParser(self.path2, max_len=max_len) if self.pairs else None
+        per_file = self.batch_size // 2 if self.pairs else self.batch_size
+        try:
+            while True:
+                names, seqs, lens, quals = p1.next_records(per_file)
+                n1 = len(names)
+                if n1 == 0:
+                    return
+                if p2 is not None:
+                    names2, seqs2, lens2, quals2 = p2.next_records(n1)
+                    if len(names2) != n1:
+                        raise ValueError(
+                            "paired FASTQ files have unequal record counts")
+                    names = names + names2
+                    seqs = np.concatenate([seqs, seqs2])
+                    lens = np.concatenate([lens, lens2])
+                    quals = np.concatenate([quals, quals2])
+                lmax = max(1, int(lens.max()))
+                qlist = [quals[i, : lens[i]].tobytes() for i in range(len(lens))]
+                yield ReadBatch.from_dense(names, seqs[:, :lmax], lens,
+                                           quals=qlist, paired=self.pairs)
+                if n1 < per_file:
+                    return
+        finally:
+            p1.close()
+            if p2 is not None:
+                p2.close()
+
+    def _batches_python(self):
         fh1 = _open(self.path1)
         fh2 = _open(self.path2) if self.pairs else None
         per_file = self.batch_size // 2 if self.pairs else self.batch_size

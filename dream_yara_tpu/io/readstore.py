@@ -15,7 +15,7 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from ..utils.alphabet import N, revcomp
+from ..utils.alphabet import N, _COMPLEMENT, revcomp
 
 
 @dataclass
@@ -41,6 +41,24 @@ class ReadBatch:
 
     def seq_row(self, read_id: int, reverse: bool) -> int:
         return read_id + self.n_reads if reverse else read_id
+
+    @classmethod
+    def from_dense(cls, names, seqs: np.ndarray, lengths: np.ndarray,
+                   quals=None, paired=False) -> "ReadBatch":
+        """From an already-dense (n, L) int8 matrix (native parser path):
+        builds the rc rows vectorized (per-row mirror up to each length)."""
+        n, L = seqs.shape
+        j = np.arange(L)
+        src = lengths[:, None] - 1 - j[None, :]
+        valid = src >= 0
+        src = np.where(valid, src, j)
+        rc = _COMPLEMENT[np.take_along_axis(seqs, src, axis=1)]
+        rc = np.where(valid, rc, np.int8(N)).astype(np.int8)
+        mat = np.concatenate([seqs, rc])
+        if quals is None:
+            quals = [b"I" * int(l) for l in lengths]
+        return cls(names=list(names), seqs=mat,
+                   lengths=lengths.astype(np.int32), quals=quals, paired=paired)
 
     @classmethod
     def from_reads(cls, names, seqs, quals=None, paired=False, pad_to=None) -> "ReadBatch":

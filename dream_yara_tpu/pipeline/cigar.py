@@ -26,16 +26,52 @@ def _sub_cost(a, b):
 
 def compute_cigars(text: np.ndarray, reads: np.ndarray, rows: np.ndarray,
                    lengths: np.ndarray, begins: np.ndarray, ends: np.ndarray,
-                   max_err: int, block: int = 4096) -> list[str]:
+                   max_err: int, dists: np.ndarray | None = None,
+                   block: int = 4096) -> list[str]:
     """CIGAR strings for matches; read i = reads[rows[i], :lengths[i]] vs
     text[begins[i]:ends[i]]. All inputs host numpy. Processed in blocks to
-    bound the (L+1, C, W) choice tensor."""
-    out: list[str] = []
-    for s in range(0, len(rows), block):
-        sl = slice(s, s + block)
-        out.extend(_cigars_block(text, reads, rows[sl], lengths[sl],
-                                 begins[sl], ends[sl], max_err))
-    return out
+    bound the (L+1, C, W) choice tensor.
+
+    When `dists` (the already-verified edit distances) is given, matches whose
+    span length equals the read length AND whose Hamming distance equals the
+    known edit distance take the pure-<m>M fast path with NO DP — on
+    substitution-dominated data that is nearly all of them."""
+    C = len(rows)
+    if C == 0:
+        return []
+    if dists is None:
+        out: list[str] = []
+        for s in range(0, C, block):
+            sl = slice(s, s + block)
+            out.extend(_cigars_block(text, reads, rows[sl], lengths[sl],
+                                     begins[sl], ends[sl], max_err))
+        return out
+
+    m_arr = lengths.astype(np.int64)
+    n_arr = (ends - begins).astype(np.int64)
+    L = int(m_arr.max())
+    eq = m_arr == n_arr
+    span_idx = begins[:, None] + np.arange(L)[None, :]
+    in_rng = (np.arange(L)[None, :] < m_arr[:, None]) & (span_idx < ends[:, None])
+    spans = np.where(in_rng, text[np.clip(span_idx, 0, len(text) - 1)], 6)
+    reads_g = reads[rows][:, :L]
+    pos_mask = np.arange(L)[None, :] < m_arr[:, None]
+    ham = ((_sub_cost(reads_g, spans) & pos_mask) & in_rng).sum(axis=1) \
+        + (pos_mask & ~in_rng).sum(axis=1)
+    fast = eq & (ham == dists)
+
+    cigars = np.empty(C, dtype=object)
+    for m in np.unique(m_arr[fast]) if fast.any() else []:
+        cigars[fast & (m_arr == m)] = f"{int(m)}M"
+    slow = np.flatnonzero(~fast)
+    slow_out: list[str] = []
+    for s in range(0, len(slow), block):
+        idx = slow[s : s + block]
+        slow_out.extend(_cigars_block(text, reads, rows[idx], lengths[idx],
+                                      begins[idx], ends[idx], max_err))
+    for i, ci in zip(slow, slow_out):
+        cigars[i] = ci
+    return cigars.tolist()
 
 
 def _cigars_block(text: np.ndarray, reads: np.ndarray, rows: np.ndarray,

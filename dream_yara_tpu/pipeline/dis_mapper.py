@@ -78,7 +78,10 @@ class DreamIndex:
         if b not in self._bin_mappers:
             self._bin_mappers[b] = BinMapper(self.stores[b], self.fms[b], opts,
                                              timers=timers)
-        return self._bin_mappers[b]
+        bm = self._bin_mappers[b]
+        if timers is not None:
+            bm.timers = timers
+        return bm
 
 
 def classify_reads(index: DreamIndex, batch: ReadBatch, opts: MapperOptions,
@@ -216,7 +219,8 @@ def dream_map_sam(index: DreamIndex, batch: ReadBatch, opts: MapperOptions,
                 ranked.matches.strand.astype(np.int32) * batch.n_reads)
         cigars = compute_cigars(index.global_text, batch.seqs, rows,
                                 batch.lengths[ranked.matches.read_id],
-                                ranked.matches.begin, ranked.matches.end, max_err)
+                                ranked.matches.begin, ranked.matches.end, max_err,
+                            dists=ranked.matches.dist)
 
     with timers.stage("sam write (host)"):
         lines = sam_header(index.contigs, cmdline) if header else []

@@ -23,14 +23,17 @@ from .seeding import errors_for, make_seeds
 
 
 class MapStepOut(NamedTuple):
-    row: jnp.ndarray       # (C,) int32 seq row (garbage where ~ok)
-    begin: jnp.ndarray     # (C,) int32 global text begin
-    end: jnp.ndarray       # (C,) int32 global text end (exclusive)
-    dist: jnp.ndarray      # (C,) int32 edit distance
-    ok: jnp.ndarray        # (C,) bool
+    row: jnp.ndarray       # (Cv,) int32 seq row (garbage where ~ok)
+    begin: jnp.ndarray     # (Cv,) int32 global text begin
+    end: jnp.ndarray       # (Cv,) int32 global text end (exclusive)
+    dist: jnp.ndarray      # (Cv,) int32 edit distance
+    ok: jnp.ndarray        # (Cv,) bool
     seed_lo: jnp.ndarray   # (S,) int32 — SA interval for overflow fallback
     seed_hi: jnp.ndarray   # (S,) int32
     overflow: jnp.ndarray  # (S,) int32 hits beyond capacity per seed
+    n_candidates: jnp.ndarray  # () int32 deduped candidates (compaction check:
+                               # if > Cv the host must re-run with higher
+                               # verify_capacity to preserve completeness)
 
 
 def max_seed_len_static(max_len: int, rate_ppm: int) -> int:
@@ -43,10 +46,12 @@ def max_seed_len_static(max_len: int, rate_ppm: int) -> int:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("rate_ppm", "max_errors", "capacity", "max_slen"))
+    jax.jit, static_argnames=("rate_ppm", "max_errors", "capacity", "max_slen",
+                              "verify_capacity"))
 def single_bin_map_step(fm: DeviceFM, reads: jnp.ndarray, lengths: jnp.ndarray,
                         *, rate_ppm: int, max_errors: int, capacity: int,
-                        max_slen: int) -> MapStepOut:
+                        max_slen: int,
+                        verify_capacity: int | None = None) -> MapStepOut:
     R2, L = reads.shape
     n_reads = lengths.shape[0]
 
@@ -70,8 +75,18 @@ def single_bin_map_step(fm: DeviceFM, reads: jnp.ndarray, lengths: jnp.ndarray,
                                  sanch[:-1]])
     dup = (srow == prev_row) & (sanch == prev_anch)
     keep = svalid & ~dup
+    n_candidates = keep.sum(dtype=jnp.int32)
 
-    vrow = jnp.where(keep, srow, 0)
+    # Compact survivors to the front so the expensive banded DP runs on a
+    # verify_capacity-sized buffer instead of all S*capacity hit slots
+    # (typically an ~8x lane saving; n_candidates reports spill).
+    if verify_capacity is not None and verify_capacity < srow.shape[0]:
+        cperm = jnp.argsort(~keep, stable=True)[:verify_capacity]
+        srow = srow[cperm]
+        sanch = sanch[cperm]
+        keep = keep[cperm]
+
+    vrow = jnp.where(keep, jnp.clip(srow, 0, R2 - 1), 0)
     vanch = jnp.where(keep, sanch, 0)
     lrow = jnp.take(lengths, vrow % n_reads).astype(jnp.int32)
     dist, beg, end = banded_verify(fm.text, vanch, reads, vrow, lrow,
@@ -79,7 +94,8 @@ def single_bin_map_step(fm: DeviceFM, reads: jnp.ndarray, lengths: jnp.ndarray,
     budget = errors_for(lrow, rate_ppm)
     ok = keep & (dist <= budget) & (beg >= 0) & (end <= fm.n)
     return MapStepOut(row=vrow, begin=beg, end=end, dist=dist, ok=ok,
-                      seed_lo=lo, seed_hi=hi, overflow=overflow)
+                      seed_lo=lo, seed_hi=hi, overflow=overflow,
+                      n_candidates=n_candidates)
 
 
 @functools.partial(jax.jit, static_argnames=("max_errors",))

@@ -25,8 +25,11 @@ from .matches import Matches, Ranked, build_matches, dedup_matches, rank_matches
 from .seeding import max_errors_for_batch, rate_to_ppm
 from .writer import GlobalContigs, sam_header, write_se_records
 
-CHUNK_ROWS = 2048          # seq rows per device step (fwd+rc): 1024 reads
-FALLBACK_PAD = 4096        # fixed shape for overflow-verify calls
+CHUNK_SIZES = (2048, 16384)  # seq-row chunk shapes (two compile variants);
+                             # large chunks amortize dispatch latency (the
+                             # axon tunnel costs ~100ms+ per call), small ones
+                             # serve little per-bin read subsets
+FALLBACK_PAD = 4096          # fixed shape for overflow-verify calls
 
 
 class BinMapper:
@@ -41,31 +44,54 @@ class BinMapper:
         self.timers = timers or StageTimers()
 
     def map_batch(self, batch: ReadBatch, capacity: int = 8) -> Matches:
-        """All matches (bin-local global-text coords), deduped per chunk."""
+        """All matches (bin-local global-text coords)."""
         opts = self.opts
         rate_ppm = rate_to_ppm(opts.error_rate)
         n = batch.n_reads
         L = batch.max_len
         max_err = max(1, max_errors_for_batch(L, opts.error_rate))
         max_slen = max_seed_len_static(L, rate_ppm)
+        ns = max_err + 1
 
-        parts: list[Matches] = []
-        half = CHUNK_ROWS // 2
+        # pick the smallest chunk shape that fits the batch (bounded compile set)
+        chunk_rows = CHUNK_SIZES[-1]
+        for cs in CHUNK_SIZES:
+            if 2 * n <= cs:
+                chunk_rows = cs
+                break
+        half = chunk_rows // 2
+        vcap = chunk_rows * ns // 2  # compacted verify lanes (vs ns*capacity dense)
+
+        # launch all chunks first (async dispatch), then drain results
+        pending = []
         for c0 in range(0, n, half):
             ids = np.arange(c0, min(c0 + half, n))
-            reads_c = np.full((CHUNK_ROWS, L), 4, dtype=np.int8)
+            reads_c = np.full((chunk_rows, L), 4, dtype=np.int8)
             lens_c = np.zeros(half, dtype=np.int32)
             reads_c[: len(ids)] = batch.seqs[ids]                       # fwd rows
             reads_c[half : half + len(ids)] = batch.seqs[n + ids]       # rc rows
             lens_c[: len(ids)] = batch.lengths[ids]
-
             with self.timers.stage("seed+search+verify (device)"):
                 out = single_bin_map_step(
                     self.dev, jnp.asarray(reads_c), jnp.asarray(lens_c),
                     rate_ppm=rate_ppm, max_errors=max_err,
-                    capacity=capacity, max_slen=max_slen)
-                out = MapStepOut(*(np.asarray(x) for x in out))
+                    capacity=capacity, max_slen=max_slen,
+                    verify_capacity=vcap)
+            pending.append((out, ids, reads_c, lens_c))
 
+        parts: list[Matches] = []
+        for out, ids, reads_c, lens_c in pending:
+            with self.timers.stage("collect matches (host)"):
+                out = MapStepOut(*(np.asarray(x) for x in out))
+            if int(out.n_candidates) > vcap:
+                # compaction spilled: redo this chunk verifying every slot
+                with self.timers.stage("dense re-verify (device)"):
+                    out = single_bin_map_step(
+                        self.dev, jnp.asarray(reads_c), jnp.asarray(lens_c),
+                        rate_ppm=rate_ppm, max_errors=max_err,
+                        capacity=capacity, max_slen=max_slen,
+                        verify_capacity=None)
+                    out = MapStepOut(*(np.asarray(x) for x in out))
             with self.timers.stage("collect matches (host)"):
                 m = build_matches(out.row, out.begin, out.end, out.dist, out.ok,
                                   n_reads=half)
@@ -150,7 +176,8 @@ def map_single_bin(store: SeqStore, fm: FMIndex, batch: ReadBatch,
             ranked.matches.strand.astype(np.int32) * batch.n_reads)
     cigars = compute_cigars(store.text, batch.seqs, rows,
                             batch.lengths[ranked.matches.read_id],
-                            ranked.matches.begin, ranked.matches.end, max_err)
+                            ranked.matches.begin, ranked.matches.end, max_err,
+                            dists=ranked.matches.dist)
     return ranked, cigars, contigs
 
 
@@ -225,7 +252,8 @@ def map_paired_bin(store: SeqStore, fm: FMIndex, batch: ReadBatch,
             ranked.matches.strand.astype(np.int32) * batch.n_reads)
     cigars = compute_cigars(store.text, batch.seqs, rows,
                             batch.lengths[ranked.matches.read_id],
-                            ranked.matches.begin, ranked.matches.end, max_err)
+                            ranked.matches.begin, ranked.matches.end, max_err,
+                            dists=ranked.matches.dist)
     return ranked, cigars, contigs, pair_info
 
 
