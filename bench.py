@@ -74,6 +74,13 @@ def main():
 
     import jax
 
+    try:  # persistent compile cache: repeat bench runs skip the slow remote compile
+        jax.config.update("jax_compilation_cache_dir",
+                          str(Path(__file__).parent / ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     store, fm = build_or_load_db()
     batch = make_reads(store, N_READS)
     warm = make_reads(store, 2048)

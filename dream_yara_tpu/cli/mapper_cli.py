@@ -40,6 +40,17 @@ def main(argv=None):
     p.add_argument("-v", "--verbose", action="count", default=0)
     a = p.parse_args(argv)
 
+    import os
+
+    import jax
+
+    try:  # persistent compile cache (first-run TPU compiles are minutes)
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.expanduser("~/.cache/dream_yara_tpu_xla"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     from ..io.fastq import FastqBatchReader
     from ..pipeline.dis_mapper import DreamIndex, dream_map_sam
     from ..utils.options import MapperOptions
@@ -63,12 +74,13 @@ def main(argv=None):
            else open(a.output_file, "w"))
     reader = FastqBatchReader(a.reads, a.reads2, batch_size=a.reads_batch)
     n_reads = 0
+    stats: dict = {}
     t0 = time.time()
     cmdline = " ".join(argv if argv is not None else sys.argv[1:])
     try:
         for i, batch in enumerate(reader):
             sam = dream_map_sam(index, batch, opts, cmdline=cmdline,
-                                timers=timers, header=(i == 0))
+                                timers=timers, header=(i == 0), stats=stats)
             out.write(sam)
             n_reads += batch.n_reads
             if a.verbose:
@@ -79,8 +91,18 @@ def main(argv=None):
         if out is not sys.stdout:
             out.close()
     dt = time.time() - t0
+    # final stats block (reference appendStats / --verbose report [U])
+    mapped = stats.get("mapped", 0)
+    unique = stats.get("unique", 0)
     print(f"[mapper] {n_reads} reads in {dt:.1f}s "
           f"({n_reads / max(dt, 1e-9):.0f} reads/s)", file=sys.stderr)
+    if n_reads:
+        line = (f"[mapper] mapped: {mapped} ({100.0 * mapped / n_reads:.2f}%)  "
+                f"unique: {unique} ({100.0 * unique / n_reads:.2f}%)")
+        if "proper_pairs" in stats:
+            pp = stats["proper_pairs"]
+            line += f"  proper pairs: {pp} ({200.0 * pp / n_reads:.2f}%)"
+        print(line, file=sys.stderr)
     if a.verbose:
         print(timers.report(), file=sys.stderr)
 

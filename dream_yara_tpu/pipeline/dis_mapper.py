@@ -194,8 +194,12 @@ def _rescue_global(index: DreamIndex, batch: ReadBatch, ranked: Ranked,
 
 def dream_map_sam(index: DreamIndex, batch: ReadBatch, opts: MapperOptions,
                   cmdline: str = "", timers: StageTimers | None = None,
-                  header: bool = True) -> str:
-    """Full DREAM pipeline for one batch -> SAM text."""
+                  header: bool = True, stats: dict | None = None) -> str:
+    """Full DREAM pipeline for one batch -> SAM text.
+
+    `stats` (reference appendStats [U], SURVEY.md §5.5): accumulates
+    reads/mapped/unique/multi/proper-pair counts across batches.
+    """
     timers = timers or StageTimers()
     m = dis_map_batch(index, batch, opts, timers)
     rate_ppm = rate_to_ppm(opts.error_rate)
@@ -222,6 +226,7 @@ def dream_map_sam(index: DreamIndex, batch: ReadBatch, opts: MapperOptions,
                                 ranked.matches.begin, ranked.matches.end, max_err,
                             dists=ranked.matches.dist)
 
+    pair_info = None
     with timers.stage("sam write (host)"):
         lines = sam_header(index.contigs, cmdline) if header else []
         if batch.paired:
@@ -232,4 +237,14 @@ def dream_map_sam(index: DreamIndex, batch: ReadBatch, opts: MapperOptions,
         else:
             lines += write_se_records(batch, index.contigs, ranked, cigars,
                                       secondary_mode=opts.secondary_matches)
+
+    if stats is not None:
+        stats["reads"] = stats.get("reads", 0) + batch.n_reads
+        mapped = int((ranked.c1 > 0).sum())
+        stats["mapped"] = stats.get("mapped", 0) + mapped
+        stats["unique"] = stats.get("unique", 0) + int(
+            ((ranked.c1 == 1) & (ranked.c2 == 0)).sum())
+        if pair_info is not None:
+            stats["proper_pairs"] = stats.get("proper_pairs", 0) + int(
+                pair_info.proper.sum()) // 2
     return "\n".join(lines) + "\n"

@@ -60,7 +60,7 @@ class BinMapper:
                 chunk_rows = cs
                 break
         half = chunk_rows // 2
-        vcap = chunk_rows * ns // 2  # compacted verify lanes (vs ns*capacity dense)
+        vcap = 4  # per-ROW verify lanes (vs ns*capacity dense slots per row)
 
         # launch all chunks first (async dispatch), then drain results
         pending = []
@@ -83,7 +83,7 @@ class BinMapper:
         for out, ids, reads_c, lens_c in pending:
             with self.timers.stage("collect matches (host)"):
                 out = MapStepOut(*(np.asarray(x) for x in out))
-            if int(out.n_candidates) > vcap:
+            if int(out.n_spilled) > 0:
                 # compaction spilled: redo this chunk verifying every slot
                 with self.timers.stage("dense re-verify (device)"):
                     out = single_bin_map_step(
@@ -99,9 +99,17 @@ class BinMapper:
                 parts.append(m)
 
             if (out.overflow > 0).any():
-                with self.timers.stage("overflow fallback"):
-                    parts.append(self._overflow_pass(
-                        out, reads_c, lens_c, ids, half, n, max_err, rate_ppm))
+                if self.opts.sensitivity == "full":
+                    # complete: expand every spilled SA interval on host
+                    with self.timers.stage("overflow fallback"):
+                        parts.append(self._overflow_pass(
+                            out, reads_c, lens_c, ids, half, n, max_err, rate_ppm))
+                else:
+                    # classifier path: re-seed repetitive rows with longer
+                    # Hamming<=1 seeds (reference mapper_classifier.h [U])
+                    with self.timers.stage("repetitive re-seed (device)"):
+                        parts.append(self._repetitive_pass(
+                            out, reads_c, lens_c, ids, half, n, max_err, rate_ppm))
 
         # NOTE: dedup happens in map_single_bin AFTER the cross-contig filter,
         # so a dropped boundary-crossing match can never shadow a real one.
@@ -113,6 +121,40 @@ class BinMapper:
         m = m.take(keep)
         m.read_id = ids[m.read_id].astype(np.int32)
         return m
+
+    REP_PAD = 1024  # fixed row-group shape for the repetitive re-seed step
+
+    def _repetitive_pass(self, out: MapStepOut, reads_c, lens_c, ids, half, n,
+                         max_err, rate_ppm) -> Matches:
+        """Device re-seed of rows whose exact seeds overflowed (sensitivity
+        high/low). Substitution-only seeds: see docs/OUTPUT_CONTRACT.md for
+        the documented sensitivity difference vs 'full'."""
+        from .map_step import max_rep_seed_len_static, repetitive_map_step
+
+        ns = max_err + 1
+        R2 = reads_c.shape[0]
+        rep_rows = np.flatnonzero(
+            np.asarray(out.overflow).reshape(R2, ns).sum(axis=1) > 0
+        ).astype(np.int32)
+        if len(rep_rows) == 0:
+            return Matches.concat([])
+        msl = max_rep_seed_len_static(reads_c.shape[1], rate_ppm)
+        parts = []
+        reads_j = jnp.asarray(reads_c)
+        lens_j = jnp.asarray(lens_c)
+        for b0 in range(0, len(rep_rows), self.REP_PAD):
+            rb = rep_rows[b0 : b0 + self.REP_PAD]
+            padn = self.REP_PAD - len(rb)
+            mask = np.concatenate([np.ones(len(rb), bool), np.zeros(padn, bool)])
+            rb = np.concatenate([rb, np.zeros(padn, np.int32)])
+            row, beg, end, dist, ok, _sp = repetitive_map_step(
+                self.dev, reads_j, lens_j, jnp.asarray(rb), jnp.asarray(mask),
+                rate_ppm=rate_ppm, max_errors=max_err, capacity=4,
+                max_slen_rep=msl)
+            m = build_matches(np.asarray(row), np.asarray(beg), np.asarray(end),
+                              np.asarray(dist), np.asarray(ok), n_reads=half)
+            parts.append(self._remap_chunk(m, ids, half, n))
+        return Matches.concat(parts)
 
     def _overflow_pass(self, out: MapStepOut, reads_c, lens_c, ids, half, n,
                        max_err, rate_ppm) -> Matches:
