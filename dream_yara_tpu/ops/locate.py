@@ -1,0 +1,50 @@
+"""SA locate for sampled suffix arrays (device side).
+
+Reference analog: SeqAn sampled-SA locate via LF-mapping walk (YaraFMConfig
+sparse SA, SURVEY.md §2.4 [U]). With sample rate s, SA values are stored only
+for text positions divisible by s; locate(row) walks LF until it lands on a
+marked row (<= s-1 steps, fixed trip count on device, branchless masking).
+
+Trade-off (SURVEY.md §5.7): full SA (rate 1) costs 4 bytes/base of HBM but
+locates in ONE gather; rate s cuts memory ~s x at (s-1) extra rank queries
+per hit. Rate 1 is the default while a bin fits; big-genome bins (GRCh38/64)
+switch to rate 8-16.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..index.fmindex import BLOCK
+from .rank import rank
+
+_LOG2_BLOCK = 7
+
+
+def locate_sampled(bwt_blocks, occ, counts, sa_samples, sa_marked, sa_rank,
+                   rows: jnp.ndarray, sample_rate: int) -> jnp.ndarray:
+    """Text positions for SA rows under a rate-s sampled SA.
+
+    sa_samples: (n_marked,) int32 SA values of marked rows;
+    sa_marked: (n,) uint8 1 where SA[row] % s == 0;
+    sa_rank: (n+1,) int32 prefix counts of marks; rows: (Q,) int32.
+    """
+    Q = rows.shape[0]
+    steps0 = jnp.zeros(Q, dtype=jnp.int32)
+
+    def body(_t, carry):
+        rows, steps = carry
+        marked = jnp.take(sa_marked, rows) > 0
+        b = rows >> _LOG2_BLOCK
+        r = rows & (BLOCK - 1)
+        blk = jnp.take(bwt_blocks, b, axis=0)                    # (Q, 128)
+        c = jnp.take_along_axis(blk, r[:, None], axis=1)[:, 0].astype(jnp.int32)
+        lf = jnp.take(counts, c) + rank(bwt_blocks, occ, c, rows)
+        rows = jnp.where(marked, rows, lf)
+        steps = jnp.where(marked, steps, steps + 1)
+        return rows, steps
+
+    rows, steps = jax.lax.fori_loop(0, sample_rate - 1, body, (rows, steps0))
+    base = jnp.take(sa_samples, jnp.take(sa_rank, rows))
+    return base + steps

@@ -47,13 +47,33 @@ def banded_verify(text: jnp.ndarray, anchors: jnp.ndarray, reads: jnp.ndarray,
     # Gather per-candidate read rows and text windows once (coalesced).
     # LAYOUT: candidates on the LANE (minor) axis — state arrays are (W, C),
     # so every VPU op runs at full 128-lane width (a (C, W) layout with
-    # W ~ 7-15 on lanes wastes >90% of the vector unit; measured 30x+).
+    # W ~ 7-15 on lanes wastes >90% of the vector unit).
+    # TPU gathers cost per INDEX (~45M/s), not per byte, so the text windows
+    # are fetched as whole 128-char BLOCK rows (few indices) and aligned with
+    # a 7-step log-shift (uniform rolls + selects — pure VPU), instead of an
+    # elementwise (C, L+2E) gather (C*(L+2E) indices; measured ~25x slower).
     reads_g = jnp.take(reads, read_rows, axis=0)                   # (C, L)
     rT = reads_g.T                                                 # (L, C)
-    win_idx = (anchors - E)[:, None] + jnp.arange(L + 2 * E, dtype=jnp.int32)[None, :]
-    in_text = (win_idx >= 0) & (win_idx < n)
-    windows = jnp.where(
-        in_text, jnp.take(text, jnp.clip(win_idx, 0, n - 1)), jnp.int8(6))
+
+    WLEN = L + 2 * E
+    n_wblocks = (WLEN + 127) // 128 + 1
+    # guard-padded text blocks: one leading + n_wblocks trailing blocks of 6
+    # (the mismatch-everything code), so out-of-text positions need no mask.
+    nb = (n + 127) // 128
+    padded = jnp.full(128 + (nb + n_wblocks + 1) * 128, 6, dtype=jnp.int8)
+    padded = jax.lax.dynamic_update_slice(padded, text.astype(jnp.int8), (128,))
+    tblocks = padded.reshape(-1, 128)
+
+    a0 = anchors - E                               # >= -E > -128 always
+    brow = (a0 >> 7) + 1
+    blocks = [jnp.take(tblocks, brow + i, axis=0) for i in range(n_wblocks)]
+    rows2 = jnp.concatenate(blocks, axis=1)        # (C, n_wblocks*128)
+    shift = a0 & 127
+    for b in range(7):                             # align: left-shift by (a0 & 127)
+        k = 1 << b
+        rolled = jnp.concatenate([rows2[:, k:], rows2[:, :k]], axis=1)
+        rows2 = jnp.where(((shift >> b) & 1)[:, None] == 1, rolled, rows2)
+    windows = rows2[:, :WLEN]
     wT = windows.T                                                 # (L+2E, C)
 
     d_off = jnp.arange(W, dtype=jnp.int32)

@@ -37,14 +37,17 @@ class DistMapOut(NamedTuple):
 
 
 def _map_one_bin(bwt, occ, counts, sa, text, n, bin_start, reads, lengths,
-                 bin_active, *, rate_ppm, max_errors, capacity, max_slen):
+                 bin_active, pfx_lo, pfx_hi, *, rate_ppm, max_errors, capacity,
+                 max_slen, prefix_q):
     """Local single-bin map (same stages as pipeline/map_step, shard-local)."""
     R2, L = reads.shape
     n_loc = lengths.shape[0]
 
     rows, starts, slens = make_seeds(lengths, R2, rate_ppm, max_errors)
     slens = jnp.where(bin_active, slens, 0)  # IBF says this bin is irrelevant
-    lo, hi = seed_search(bwt, occ, counts, n, reads, rows, starts, slens, max_slen)
+    lo, hi = seed_search(bwt, occ, counts, n, reads, rows, starts, slens,
+                         max_slen, pfx_lo=pfx_lo, pfx_hi=pfx_hi,
+                         prefix_q=prefix_q)
     pos, hmask, _overflow = gather_hits(sa, lo, hi, capacity)
 
     anchors = (pos - starts[:, None]).reshape(-1)
@@ -73,7 +76,7 @@ def _map_one_bin(bwt, occ, counts, sa, text, n, bin_start, reads, lengths,
 
 
 def build_dist_map_step(mesh: Mesh, *, rate_ppm: int, max_errors: int,
-                        capacity: int, max_slen: int):
+                        capacity: int, max_slen: int, prefix_q: int = 0):
     """Returns a jitted sharded step:
     (fmset, bin_starts, reads, lengths, routing) -> DistMapOut.
 
@@ -97,15 +100,19 @@ def build_dist_map_step(mesh: Mesh, *, rate_ppm: int, max_errors: int,
                 fmset.bwt_blocks[b], fmset.occ[b], fmset.counts[b],
                 fmset.sa[b], fmset.text[b], fmset.n[b], bin_starts[b],
                 reads, lengths, bin_active,
+                None if fmset.pfx_lo is None else fmset.pfx_lo[b],
+                None if fmset.pfx_hi is None else fmset.pfx_hi[b],
                 rate_ppm=rate_ppm, max_errors=max_errors,
-                capacity=capacity, max_slen=max_slen)
+                capacity=capacity, max_slen=max_slen, prefix_q=prefix_q)
             outs.append((rid + data_idx * n_loc, strand, beg, end, dist, ok))
         stack = [jnp.stack(x) for x in zip(*outs)]             # (B_loc, C)
         return DistMapOut(*stack)
 
+    pfx_spec = P("bin") if prefix_q > 0 else None
     fmset_spec = DeviceFMSet(
         bwt_blocks=P("bin"), occ=P("bin"), counts=P("bin"),
-        sa=P("bin"), text=P("bin"), n=P("bin"))
+        sa=P("bin"), text=P("bin"), n=P("bin"),
+        pfx_lo=pfx_spec, pfx_hi=pfx_spec)
     sharded = jax.shard_map(
         local_step, mesh=mesh,
         in_specs=(fmset_spec, P("bin"), P("data"), P("data"), P("data", "bin")),
@@ -116,11 +123,9 @@ def build_dist_map_step(mesh: Mesh, *, rate_ppm: int, max_errors: int,
 
 def shard_db(mesh: Mesh, fmset: DeviceFMSet, bin_starts):
     """Place the stacked DB on the mesh ('bin'-sharded, replicated over 'data')."""
-    spec = DeviceFMSet(
-        bwt_blocks=P("bin"), occ=P("bin"), counts=P("bin"),
-        sa=P("bin"), text=P("bin"), n=P("bin"))
     put = lambda x, s: jax.device_put(x, NamedSharding(mesh, s))
-    fmset_sh = DeviceFMSet(*(put(getattr(fmset, f), getattr(spec, f))
+    fmset_sh = DeviceFMSet(*(None if getattr(fmset, f) is None
+                             else put(getattr(fmset, f), P("bin"))
                              for f in fmset._fields))
     return fmset_sh, put(bin_starts, P("bin"))
 

@@ -39,6 +39,14 @@ def compute_cigars(text: np.ndarray, reads: np.ndarray, rows: np.ndarray,
     C = len(rows)
     if C == 0:
         return []
+    if dists is not None:
+        try:
+            from ..native import align as nat_align
+            if nat_align.available():
+                return nat_align.compute_cigars_native(
+                    text, reads, rows, lengths, begins, ends, dists, max_err)
+        except ImportError:
+            pass
     if dists is None:
         out: list[str] = []
         for s in range(0, C, block):
@@ -86,7 +94,7 @@ def _cigars_block(text: np.ndarray, reads: np.ndarray, rows: np.ndarray,
     E = max_err
     W = 2 * E + 1
 
-    reads_g = reads[rows]                                     # (C, L)
+    reads_g = reads[rows][:, :L]                              # (C, L)
     # gather spans padded to L+E with sentinel-like 6
     span_len = int(n_arr.max())
     span_idx = begins[:, None] + np.arange(span_len)[None, :]

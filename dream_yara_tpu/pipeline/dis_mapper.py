@@ -192,6 +192,48 @@ def _rescue_global(index: DreamIndex, batch: ReadBatch, ranked: Ranked,
     return Matches.concat(parts)
 
 
+def dream_map_stream(index: DreamIndex, batches, opts: MapperOptions,
+                     cmdline: str = "", timers: StageTimers | None = None,
+                     stats: dict | None = None):
+    """Yield SAM text per batch, overlapping device mapping of batch i+1 with
+    host post-processing of batch i (two-stage pipeline; the batch-scale
+    analog of the reference's prefetched reader, SURVEY.md §2.10 pipeline
+    parallelism row). The FASTQ reader itself prefetches a further batch, so
+    steady state runs parse / device map / host finish concurrently.
+    """
+    import threading
+    from queue import Queue
+
+    timers = timers or StageTimers()
+    q: Queue = Queue(maxsize=1)
+    sentinel = object()
+    err: list[BaseException] = []
+
+    def device_worker():
+        try:
+            for batch in batches:
+                m = dis_map_batch(index, batch, opts, timers)
+                q.put((batch, m))
+        except BaseException as e:
+            err.append(e)
+        finally:
+            q.put(sentinel)
+
+    t = threading.Thread(target=device_worker, daemon=True)
+    t.start()
+    first = True
+    while True:
+        item = q.get()
+        if item is sentinel:
+            if err:
+                raise err[0]
+            return
+        batch, m = item
+        yield _finish_batch(index, batch, m, opts, cmdline, timers,
+                            header=first, stats=stats)
+        first = False
+
+
 def dream_map_sam(index: DreamIndex, batch: ReadBatch, opts: MapperOptions,
                   cmdline: str = "", timers: StageTimers | None = None,
                   header: bool = True, stats: dict | None = None) -> str:
@@ -202,6 +244,12 @@ def dream_map_sam(index: DreamIndex, batch: ReadBatch, opts: MapperOptions,
     """
     timers = timers or StageTimers()
     m = dis_map_batch(index, batch, opts, timers)
+    return _finish_batch(index, batch, m, opts, cmdline, timers, header, stats)
+
+
+def _finish_batch(index: DreamIndex, batch: ReadBatch, m: Matches,
+                  opts: MapperOptions, cmdline: str, timers: StageTimers,
+                  header: bool, stats: dict | None) -> str:
     rate_ppm = rate_to_ppm(opts.error_rate)
     max_err = max(1, max_errors_for_batch(batch.max_len, opts.error_rate))
 

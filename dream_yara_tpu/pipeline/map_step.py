@@ -56,17 +56,21 @@ def max_rep_seed_len_static(max_len: int, rate_ppm: int) -> int:
 
 @functools.partial(
     jax.jit, static_argnames=("rate_ppm", "max_errors", "capacity", "max_slen",
-                              "verify_capacity"))
+                              "verify_capacity", "prefix_q", "use_pallas"))
 def single_bin_map_step(fm: DeviceFM, reads: jnp.ndarray, lengths: jnp.ndarray,
                         *, rate_ppm: int, max_errors: int, capacity: int,
                         max_slen: int,
-                        verify_capacity: int | None = None) -> MapStepOut:
+                        verify_capacity: int | None = None,
+                        prefix_q: int = 0,
+                        use_pallas: bool = False) -> MapStepOut:
     R2, L = reads.shape
     n_reads = lengths.shape[0]
 
     rows, starts, slens = make_seeds(lengths, R2, rate_ppm, max_errors)
     lo, hi = seed_search(fm.bwt_blocks, fm.occ, fm.counts, fm.n,
-                         reads, rows, starts, slens, max_slen)
+                         reads, rows, starts, slens, max_slen,
+                         pfx_lo=fm.pfx_lo, pfx_hi=fm.pfx_hi,
+                         prefix_q=prefix_q)
     pos, hmask, overflow = gather_hits(fm.sa, lo, hi, capacity)
 
     ns = max_errors + 1
@@ -75,41 +79,65 @@ def single_bin_map_step(fm: DeviceFM, reads: jnp.ndarray, lengths: jnp.ndarray,
     row_ids = jnp.arange(R2, dtype=jnp.int32)
     vrow, vanch, keep, n_spilled = dedup_compact(A, V, row_ids, verify_capacity)
     dist, beg, end, ok = verify_candidates(
-        fm, reads, lengths, vrow, vanch, keep, rate_ppm, max_errors)
+        fm, reads, lengths, vrow, vanch, keep, rate_ppm, max_errors,
+        use_pallas=use_pallas)
     return MapStepOut(row=vrow, begin=beg, end=end, dist=dist, ok=ok,
                       seed_lo=lo, seed_hi=hi, overflow=overflow,
                       n_spilled=n_spilled)
 
 
 def dedup_compact(A, V, row_ids, verify_capacity: int | None):
-    """Per-row anchor dedup + compaction.
+    """Per-row anchor dedup + compaction — SORT-FREE.
 
     Duplicate (row, anchor) pairs can only occur WITHIN a seq row (the E+1
-    seeds of one read all hit the same diagonal), so a per-row sort over the
-    hit slots suffices — far cheaper on TPU than a global lexsort (minor-axis
-    bitonic sorts vs a 500k-element radix sort). Compaction keeps at most
-    verify_capacity candidates per row for the banded DP; spilled candidates
-    are counted so the host can re-run densely (completeness never lost).
+    seeds of one read all hit the same diagonal). XLA sorts are slow on TPU,
+    so dedup is an O(slots^2) pairwise compare on the minor axis (slots is
+    small) and compaction is a kv-step argmax-selection loop — both pure VPU
+    elementwise work. Spilled candidates are counted so the host can re-run
+    densely (completeness never lost). For wide slot counts (the repetitive
+    path) a chunked pairwise pass bounds the (R, s, s) tensor.
 
     A, V: (R, slots) anchors + validity; row_ids: (R,) seq-row id per row.
     Returns (vrow, vanch, keep) flattened (R*kv,) + n_spilled scalar.
     """
     R, slots = A.shape
-    BIG = jnp.int32(1 << 30)
-    Am = jnp.where(V, A, BIG)
-    Am = jnp.sort(Am, axis=1)
-    dup = jnp.concatenate(
-        [jnp.zeros((R, 1), bool), Am[:, 1:] == Am[:, :-1]], axis=1)
-    keep2 = (Am < BIG) & ~dup
+
+    # dup[r, j] = exists k < j with V[r, k] and A[r, k] == A[r, j]
+    PAIR_BLOCK = 64
+    if slots <= PAIR_BLOCK:
+        earlier = jnp.tril(jnp.ones((slots, slots), bool), k=-1)
+        eq = A[:, :, None] == A[:, None, :]
+        dup = (eq & V[:, None, :] & earlier[None, :, :]).any(axis=2)
+    else:
+        # chunk the j axis to bound the pairwise tensor
+        dups = []
+        for j0 in range(0, slots, PAIR_BLOCK):
+            j1 = min(j0 + PAIR_BLOCK, slots)
+            eq = A[:, j0:j1, None] == A[:, None, :]          # (R, jb, slots)
+            kle = (jnp.arange(slots)[None, None, :]
+                   < (j0 + jnp.arange(j1 - j0))[None, :, None])
+            dups.append((eq & V[:, None, :] & kle).any(axis=2))
+        dup = jnp.concatenate(dups, axis=1)
+    keep2 = V & ~dup
     kept_before = keep2.sum(dtype=jnp.int32)
 
     if verify_capacity is not None and verify_capacity < slots:
-        corder = jnp.argsort(~keep2, axis=1, stable=True)[:, :verify_capacity]
-        Am = jnp.take_along_axis(Am, corder, axis=1)
-        keep2 = jnp.take_along_axis(keep2, corder, axis=1)
         kv = verify_capacity
+        picked_a, picked_k = [], []
+        kw = keep2
+        col = jnp.arange(slots, dtype=jnp.int32)[None, :]
+        for _ in range(kv):
+            idx = jnp.argmax(kw, axis=1)                      # first kept slot
+            got = jnp.take_along_axis(kw, idx[:, None], axis=1)[:, 0]
+            a = jnp.take_along_axis(A, idx[:, None], axis=1)[:, 0]
+            picked_a.append(jnp.where(got, a, 0))
+            picked_k.append(got)
+            kw = kw & (col != idx[:, None])
+        Am = jnp.stack(picked_a, axis=1)                      # (R, kv)
+        keep2 = jnp.stack(picked_k, axis=1)
     else:
         kv = slots
+        Am = jnp.where(keep2, A, 0)
     n_spilled = kept_before - keep2.sum(dtype=jnp.int32)
 
     keep = keep2.reshape(-1)
@@ -119,12 +147,28 @@ def dedup_compact(A, V, row_ids, verify_capacity: int | None):
             keep, n_spilled)
 
 
+def use_pallas_default() -> bool:
+    """Pallas kernels on real TPU; the XLA reference path elsewhere (CPU)."""
+    import jax
+
+    try:
+        return jax.devices()[0].platform not in ("cpu",)
+    except Exception:
+        return False
+
+
 def verify_candidates(fm: DeviceFM, reads, lengths, vrow, vanch, keep,
-                      rate_ppm: int, max_errors: int):
+                      rate_ppm: int, max_errors: int, use_pallas: bool = False):
     n_reads = lengths.shape[0]
     lrow = jnp.take(lengths, vrow % n_reads).astype(jnp.int32)
-    dist, beg, end = banded_verify(fm.text, vanch, reads, vrow, lrow,
-                                   max_err=max_errors)
+    if use_pallas:
+        from ..ops.pallas_verify import banded_verify_pallas
+
+        dist, beg, end = banded_verify_pallas(
+            fm.text, vanch, reads, vrow, lrow, max_err=max_errors)
+    else:
+        dist, beg, end = banded_verify(fm.text, vanch, reads, vrow, lrow,
+                                       max_err=max_errors)
     budget = errors_for(lrow, rate_ppm)
     ok = keep & (dist <= budget) & (beg >= 0) & (end <= fm.n)
     return dist, beg, end, ok
@@ -132,11 +176,12 @@ def verify_candidates(fm: DeviceFM, reads, lengths, vrow, vanch, keep,
 
 @functools.partial(
     jax.jit, static_argnames=("rate_ppm", "max_errors", "capacity",
-                              "max_slen_rep", "verify_capacity"))
+                              "max_slen_rep", "verify_capacity", "use_pallas"))
 def repetitive_map_step(fm: DeviceFM, reads: jnp.ndarray, lengths: jnp.ndarray,
                         rep_rows: jnp.ndarray, rep_mask: jnp.ndarray,
                         *, rate_ppm: int, max_errors: int, capacity: int,
-                        max_slen_rep: int, verify_capacity: int = 8):
+                        max_slen_rep: int, verify_capacity: int = 8,
+                        use_pallas: bool = False):
     """Re-seed repetitive rows with fewer/longer Hamming<=1 seeds.
 
     The classifier path (reference mapper_classifier.h + findSeeds<1> [U]):
@@ -185,7 +230,8 @@ def repetitive_map_step(fm: DeviceFM, reads: jnp.ndarray, lengths: jnp.ndarray,
     vrow, vanch, keep, n_spilled = dedup_compact(
         A, V, jnp.where(rep_mask, rep_rows, 0), verify_capacity)
     dist, beg, end, ok = verify_candidates(
-        fm, reads, lengths, vrow, vanch, keep, rate_ppm, max_errors)
+        fm, reads, lengths, vrow, vanch, keep, rate_ppm, max_errors,
+        use_pallas=use_pallas)
     return vrow, beg, end, dist, ok, n_spilled
 
 

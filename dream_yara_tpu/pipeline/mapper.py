@@ -25,9 +25,10 @@ from .matches import Matches, Ranked, build_matches, dedup_matches, rank_matches
 from .seeding import max_errors_for_batch, rate_to_ppm
 from .writer import GlobalContigs, sam_header, write_se_records
 
-CHUNK_SIZES = (2048, 16384)  # seq-row chunk shapes (two compile variants);
-                             # large chunks amortize dispatch latency (the
-                             # axon tunnel costs ~100ms+ per call), small ones
+CHUNK_SIZES = (2048, 16384, 131072)
+                             # seq-row chunk shapes (bounded compile set);
+                             # large chunks amortize the per-dispatch floor
+                             # (~25ms through the axon tunnel), small ones
                              # serve little per-bin read subsets
 FALLBACK_PAD = 4096          # fixed shape for overflow-verify calls
 
@@ -42,6 +43,8 @@ class BinMapper:
         self.opts = opts
         self.dev = DeviceFM.from_host(fm, store.text)
         self.timers = timers or StageTimers()
+        from .map_step import use_pallas_default
+        self.use_pallas = use_pallas_default()
 
     def map_batch(self, batch: ReadBatch, capacity: int = 8) -> Matches:
         """All matches (bin-local global-text coords)."""
@@ -76,7 +79,9 @@ class BinMapper:
                     self.dev, jnp.asarray(reads_c), jnp.asarray(lens_c),
                     rate_ppm=rate_ppm, max_errors=max_err,
                     capacity=capacity, max_slen=max_slen,
-                    verify_capacity=vcap)
+                    verify_capacity=vcap,
+                    prefix_q=self.fm.prefix_q if self.dev.pfx_lo is not None else 0,
+                    use_pallas=self.use_pallas)
             pending.append((out, ids, reads_c, lens_c))
 
         parts: list[Matches] = []
@@ -90,7 +95,9 @@ class BinMapper:
                         self.dev, jnp.asarray(reads_c), jnp.asarray(lens_c),
                         rate_ppm=rate_ppm, max_errors=max_err,
                         capacity=capacity, max_slen=max_slen,
-                        verify_capacity=None)
+                        verify_capacity=None,
+                        prefix_q=self.fm.prefix_q if self.dev.pfx_lo is not None else 0,
+                        use_pallas=self.use_pallas)
                     out = MapStepOut(*(np.asarray(x) for x in out))
             with self.timers.stage("collect matches (host)"):
                 m = build_matches(out.row, out.begin, out.end, out.dist, out.ok,
@@ -150,7 +157,7 @@ class BinMapper:
             row, beg, end, dist, ok, _sp = repetitive_map_step(
                 self.dev, reads_j, lens_j, jnp.asarray(rb), jnp.asarray(mask),
                 rate_ppm=rate_ppm, max_errors=max_err, capacity=4,
-                max_slen_rep=msl)
+                max_slen_rep=msl, use_pallas=self.use_pallas)
             m = build_matches(np.asarray(row), np.asarray(beg), np.asarray(end),
                               np.asarray(dist), np.asarray(ok), n_reads=half)
             parts.append(self._remap_chunk(m, ids, half, n))

@@ -31,3 +31,46 @@ def test_build_dispatches_to_native(rng):
     from dream_yara_tpu.index.suffix_array import build_suffix_array
     text = random_text(rng, 1000)
     assert np.array_equal(build_suffix_array(text), sa_numpy(text))
+
+
+def test_native_cigars_match_numpy(rng):
+    """C++ CIGAR engine must be byte-identical to the NumPy engine."""
+    from dream_yara_tpu.native import align as nat
+    from dream_yara_tpu.pipeline.cigar import _cigars_block
+    from tests.conftest import mutate
+
+    if not nat.available():
+        pytest.skip("align lib unavailable")
+    text = random_text(rng, 4000)
+    E = 5
+    rows_l, lens_l, begs, ends_l, dists = [], [], [], [], []
+    reads = np.full((60, 90), 4, dtype=np.int8)
+    from dream_yara_tpu.ops.verify import banded_verify
+    import jax.numpy as jnp
+    anchors = []
+    for i in range(60):
+        p = int(rng.integers(0, 3800))
+        r = mutate(rng, text[p : p + 80].copy(),
+                   n_sub=int(rng.integers(0, 3)),
+                   n_ins=int(rng.integers(0, 2)),
+                   n_del=int(rng.integers(0, 2)))
+        reads[i, : len(r)] = r
+        lens_l.append(len(r))
+        anchors.append(p)
+    dist, beg, end = banded_verify(
+        jnp.asarray(text), jnp.asarray(anchors, dtype=jnp.int32),
+        jnp.asarray(reads), jnp.arange(60, dtype=jnp.int32),
+        jnp.asarray(lens_l, dtype=jnp.int32), max_err=E)
+    ok = np.asarray(dist) <= E
+    rows_a = np.arange(60, dtype=np.int32)[ok]
+    lens_a = np.array(lens_l, dtype=np.int32)[ok]
+    begs_a = np.asarray(beg)[ok].astype(np.int64)
+    ends_a = np.asarray(end)[ok].astype(np.int64)
+    dists_a = np.asarray(dist)[ok].astype(np.int32)
+    assert ok.sum() > 20
+    want = _cigars_block(text, reads, rows_a, lens_a, begs_a, ends_a, E)
+    got = nat.compute_cigars_native(text, reads, rows_a, lens_a, begs_a,
+                                    ends_a, dists_a, E)
+    # native uses the known-dist fast path; numpy block engine computes its
+    # own — results must agree anyway
+    assert got == want

@@ -181,3 +181,17 @@ def test_ibf_device_matches_host(rng):
     for i in range(6):
         want = ibf.bin_counts(reads[i, : lens[i]])
         assert np.array_equal(got[i, :bins], want), i
+
+
+def test_locate_sampled_device(fixture):
+    from dream_yara_tpu.ops.locate import locate_sampled
+
+    rng, text, fm, dev = fixture
+    fms = fm.subsample_sa(8)
+    rows = jnp.asarray(rng.integers(0, fm.n, 300).astype(np.int32))
+    got = np.asarray(locate_sampled(
+        dev.bwt_blocks, dev.occ, dev.counts,
+        jnp.asarray(fms.sa), jnp.asarray(fms.sa_marked),
+        jnp.asarray(fms.sa_rank), rows, sample_rate=8))
+    want = fm.sa[np.asarray(rows)]
+    assert np.array_equal(got, want)
