@@ -43,8 +43,9 @@ def _dp_kernel(wexp_ref, rT_ref, anch_ref, len_ref,
 
     def step(j, carry):
         D, S, best, bbeg, bend = carry
-        wchars = wexp_ref[j]                                   # (Wp, C) int8
-        rchar = rT_ref[j]                                      # (1, C) int8
+        # int32 compares: v5e Mosaic does not support int8 vector cmp
+        wchars = wexp_ref[j].astype(jnp.int32)                 # (Wp, C)
+        rchar = rT_ref[j].astype(jnp.int32)                    # (1, C)
         sub = ((rchar != wchars) | (rchar >= 4) | (wchars >= 4)).astype(jnp.int32)
 
         diag = D + sub
