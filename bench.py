@@ -22,9 +22,10 @@ import numpy as np
 NOMINAL_REFERENCE_READS_PER_S = 50_000.0
 
 GENOME_LEN = 4_600_000
-N_READS = 131_072            # streamed as two 65536-read batches: each batch
+N_READS = 262_144            # streamed as four 65536-read batches: each batch
                              # is exactly one 131072-row device dispatch, and
                              # host post-processing overlaps the next batch
+                             # (4 batches approximate steady-state throughput)
 BATCH = 65_536
 READ_LEN = 100
 ERROR_RATE = 0.03

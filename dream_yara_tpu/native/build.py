@@ -10,6 +10,7 @@ HERE = Path(__file__).parent
 LIBS = {
     "libdyalign.so": ["align.cpp"],
     "libdysais.so": ["sais.cpp"],
+    "libdysamfmt.so": ["samfmt.cpp"],
     "libdyseqio.so": ["seqio.cpp"],
 }
 

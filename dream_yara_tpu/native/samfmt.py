@@ -1,0 +1,88 @@
+"""ctypes binding for the C++ SAM formatter (samfmt.cpp)."""
+
+from __future__ import annotations
+
+import ctypes
+
+import numpy as np
+
+from .build import build
+
+_lib = None
+_tried = False
+
+
+def _load():
+    global _lib, _tried
+    if _tried:
+        return _lib
+    _tried = True
+    path = build("libdysamfmt.so")
+    if path is None:
+        return None
+    lib = ctypes.CDLL(str(path))
+    i8p = ctypes.POINTER(ctypes.c_uint8)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    lib.dy_format_se.argtypes = [
+        ctypes.c_int32,
+        i8p, i64p,                 # names
+        i32p, i32p, i64p, i32p,    # flag, rname, pos1, mapq
+        i8p, i64p,                 # cigar
+        i8p, ctypes.c_int64, i32p, i32p,  # seqmat, stride, row, len
+        i8p, i64p, i8p,            # quals, off, rev
+        i32p,                      # nm
+        i8p, i64p,                 # extra
+        i8p, i64p,                 # contig names
+        i8p, ctypes.c_int64,       # out
+    ]
+    lib.dy_format_se.restype = ctypes.c_int64
+    _lib = lib
+    return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _p8(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+def _p32(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+
+def _p64(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+
+
+def pack_strs(items: list[bytes]) -> tuple[np.ndarray, np.ndarray]:
+    off = np.zeros(len(items) + 1, dtype=np.int64)
+    np.cumsum([len(s) for s in items], out=off[1:])
+    return np.frombuffer(b"".join(items), dtype=np.uint8), off
+
+
+def format_se(names_b, name_off, flag, rname_idx, pos1, mapq,
+              cig_b, cig_off, seqmat, seq_row, seq_len,
+              quals_b, qual_off, qual_rev, nm,
+              extra_b, extra_off, cnames_b, cname_off) -> bytes:
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native samfmt unavailable")
+    n = len(flag)
+    cap = int(name_off[-1] + cig_off[-1] + 2 * int(seq_len.sum())
+              + extra_off[-1] + 96 * n + 1024)
+    out = np.empty(cap, dtype=np.uint8)
+    seqmat = np.ascontiguousarray(seqmat, dtype=np.uint8)
+    total = lib.dy_format_se(
+        n, _p8(names_b), _p64(name_off),
+        _p32(flag), _p32(rname_idx), _p64(pos1), _p32(mapq),
+        _p8(cig_b), _p64(cig_off),
+        _p8(seqmat), seqmat.shape[1], _p32(seq_row), _p32(seq_len),
+        _p8(quals_b), _p64(qual_off), _p8(qual_rev), _p32(nm),
+        _p8(extra_b), _p64(extra_off), _p8(cnames_b), _p64(cname_off),
+        _p8(out), cap)
+    if total < 0:
+        raise RuntimeError("samfmt buffer overflow")
+    return out[:total].tobytes()

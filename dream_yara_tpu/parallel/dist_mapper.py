@@ -45,8 +45,14 @@ def _map_one_bin(bwt, occ, counts, sa, text, n, bin_start, reads, lengths,
 
     rows, starts, slens = make_seeds(lengths, R2, rate_ppm, max_errors)
     slens = jnp.where(bin_active, slens, 0)  # IBF says this bin is irrelevant
-    lo, hi = seed_search(bwt, occ, counts, n, reads, rows, starts, slens,
-                         max_slen, pfx_lo=pfx_lo, pfx_hi=pfx_hi,
+    # truncated search (see pipeline.map_step.seed_stop_depth)
+    from ..pipeline.map_step import seed_stop_depth
+
+    t_stop = seed_stop_depth(prefix_q)
+    slens_eff = jnp.minimum(slens, t_stop)
+    starts = starts + (slens - slens_eff)
+    lo, hi = seed_search(bwt, occ, counts, n, reads, rows, starts, slens_eff,
+                         min(max_slen, t_stop), pfx_lo=pfx_lo, pfx_hi=pfx_hi,
                          prefix_q=prefix_q)
     pos, hmask, _overflow = gather_hits(sa, lo, hi, capacity)
 

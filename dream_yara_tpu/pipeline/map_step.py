@@ -54,6 +54,14 @@ def max_rep_seed_len_static(max_len: int, rate_ppm: int) -> int:
     return best
 
 
+def seed_stop_depth(prefix_q: int) -> int:
+    """Truncated-search depth: a seed's LAST t_stop chars are enough to make
+    the SA interval tiny (expected spurious hits ~ n/4^t_stop per seed); the
+    banded verifier rejects any false anchor, so truncation costs zero
+    sensitivity while cutting most rank iterations."""
+    return prefix_q + 5 if prefix_q > 0 else 16
+
+
 @functools.partial(
     jax.jit, static_argnames=("rate_ppm", "max_errors", "capacity", "max_slen",
                               "verify_capacity", "prefix_q", "use_pallas"))
@@ -67,10 +75,17 @@ def single_bin_map_step(fm: DeviceFM, reads: jnp.ndarray, lengths: jnp.ndarray,
     n_reads = lengths.shape[0]
 
     rows, starts, slens = make_seeds(lengths, R2, rate_ppm, max_errors)
+    # truncated search: match only each seed's last t_stop chars (see
+    # seed_stop_depth); the read-start anchor math shifts accordingly
+    t_stop = seed_stop_depth(prefix_q)
+    slens_eff = jnp.minimum(slens, t_stop)
+    starts_eff = starts + (slens - slens_eff)
     lo, hi = seed_search(fm.bwt_blocks, fm.occ, fm.counts, fm.n,
-                         reads, rows, starts, slens, max_slen,
+                         reads, rows, starts_eff, slens_eff,
+                         min(max_slen, t_stop),
                          pfx_lo=fm.pfx_lo, pfx_hi=fm.pfx_hi,
                          prefix_q=prefix_q)
+    starts = starts_eff  # anchors below = hit pos - offset of matched part
     pos, hmask, overflow = gather_hits(fm.sa, lo, hi, capacity)
 
     ns = max_errors + 1

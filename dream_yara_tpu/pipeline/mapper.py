@@ -166,10 +166,14 @@ class BinMapper:
     def _overflow_pass(self, out: MapStepOut, reads_c, lens_c, ids, half, n,
                        max_err, rate_ppm) -> Matches:
         """Verify seed hits beyond device capacity (host expansion, device verify)."""
+        from .map_step import seed_stop_depth
+
         over_seeds = np.flatnonzero(out.overflow > 0)
         rows_l, anchors_l = [], []
         ns = max_err + 1
         sa = self.fm.sa
+        t_stop = seed_stop_depth(
+            self.fm.prefix_q if self.dev.pfx_lo is not None else 0)
         cap = out.seed_hi - out.seed_lo - out.overflow  # == device capacity where overflowed
         for s in over_seeds:
             lo, hi = int(out.seed_lo[s]) + int(cap[s]), int(out.seed_hi[s])
@@ -180,7 +184,8 @@ class BinMapper:
                 continue
             e = (l * rate_ppm) // 10_000
             slen = l // (e + 1)
-            start = sidx * slen
+            # matched part = the seed's last min(slen, t_stop) chars
+            start = sidx * slen + (slen - min(slen, t_stop))
             pos = sa[lo:hi].astype(np.int64)
             rows_l.append(np.full(len(pos), row, dtype=np.int32))
             anchors_l.append((pos - start).astype(np.int32))

@@ -80,6 +80,62 @@ def sam_header(contigs: GlobalContigs, cmdline: str = "", version: str = "0.1.0"
     return lines
 
 
+def _write_se_native(batch: ReadBatch, contigs: GlobalContigs, ranked,
+                     cigars: list[str], secondary_mode: str, samfmt) -> list[str]:
+    """Vectorized field prep + C++ byte assembly (same output as the Python
+    loop below, asserted by tests)."""
+    from .mapq import compute_mapq
+
+    n = batch.n_reads
+    m = ranked.matches
+    mapq_all = compute_mapq(ranked.c1, ranked.c2)
+    ids = np.arange(n)
+    grp_start = np.searchsorted(m.read_id, ids, side="left")
+    grp_end = np.searchsorted(m.read_id, ids, side="right")
+    mapped = grp_end > grp_start
+    prim = np.where(mapped, grp_start, 0)
+
+    if len(m):
+        cid_all, lpos_all = contigs.local_pos(m.begin)
+    else:
+        cid_all = lpos_all = np.zeros(0, dtype=np.int64)
+
+    strand = np.where(mapped, m.strand[prim], 0).astype(np.int32)
+    flag = np.where(mapped, strand * FLAG_RC, FLAG_UNMAPPED).astype(np.int32)
+    rname = np.where(mapped, cid_all[prim] if len(m) else 0, -1).astype(np.int32)
+    pos1 = np.where(mapped, (lpos_all[prim] + 1) if len(m) else 0, 0).astype(np.int64)
+    mapq = np.where(mapped, mapq_all[ids], 0).astype(np.int32)
+    nm = np.where(mapped, m.dist[prim] if len(m) else 0, 0).astype(np.int32)
+
+    names_b, name_off = samfmt.pack_strs([s.encode() for s in batch.names])
+    cig_b, cig_off = samfmt.pack_strs(
+        [cigars[prim[i]].encode() if mapped[i] else b"" for i in range(n)])
+    seqmat = code_to_ascii(batch.seqs)
+    seq_row = (ids + strand * n).astype(np.int32)
+    seq_len = batch.lengths.astype(np.int32)
+    quals_b, qual_off = samfmt.pack_strs(batch.quals)
+    qual_rev = strand.astype(np.uint8)
+
+    extras = [b""] * n
+    if secondary_mode == "tag":
+        for rid in np.flatnonzero(mapped & (grp_end - grp_start > 1)):
+            s, e = int(grp_start[rid]), int(grp_end[rid])
+            alts = []
+            for mj in range(s + 1, e):
+                st = "-" if m.strand[mj] else "+"
+                alts.append(f"{contigs.names[int(cid_all[mj])]},{st}"
+                            f"{int(lpos_all[mj]) + 1},{cigars[mj]},{int(m.dist[mj])}")
+            extras[rid] = ("\tXA:Z:" + ";".join(alts) + ";").encode()
+    extra_b, extra_off = samfmt.pack_strs(extras)
+    cnames_b, cname_off = samfmt.pack_strs([s.encode() for s in contigs.names])
+
+    text = samfmt.format_se(names_b, name_off, flag, rname, pos1, mapq,
+                            cig_b, cig_off, seqmat, seq_row, seq_len,
+                            quals_b, qual_off, qual_rev, nm,
+                            extra_b, extra_off, cnames_b, cname_off)
+    return text.decode().splitlines()
+
+
 def _seq_qual(batch: ReadBatch, read_id: int, strand: int) -> tuple[str, str]:
     l = int(batch.lengths[read_id])
     row = batch.seq_row(read_id, reverse=bool(strand))
@@ -199,8 +255,25 @@ def write_se_records(batch: ReadBatch, contigs: GlobalContigs, ranked,
     """Single-end records, one primary per read (+ secondaries per mode).
 
     ranked: pipeline.matches.Ranked (canonical order); cigars aligned with
-    ranked.matches rows.
+    ranked.matches rows. Dispatches to the C++ formatter (native/samfmt.cpp)
+    for tag/omit modes; field semantics are identical (tested equal).
     """
+    from .mapq import compute_mapq
+
+    if secondary_mode in ("tag", "omit"):
+        try:
+            from ..native import samfmt
+
+            if samfmt.available():
+                return _write_se_native(batch, contigs, ranked, cigars,
+                                        secondary_mode, samfmt)
+        except ImportError:
+            pass
+    return _write_se_python(batch, contigs, ranked, cigars, secondary_mode)
+
+
+def _write_se_python(batch: ReadBatch, contigs: GlobalContigs, ranked,
+                     cigars: list[str], secondary_mode: str = "tag") -> list[str]:
     from .mapq import compute_mapq
 
     m = ranked.matches

@@ -74,3 +74,39 @@ def test_native_cigars_match_numpy(rng):
     # native uses the known-dist fast path; numpy block engine computes its
     # own — results must agree anyway
     assert got == want
+
+
+def test_native_sam_formatter_matches_python(rng):
+    from dream_yara_tpu.native import samfmt
+    if not samfmt.available():
+        pytest.skip("samfmt unavailable")
+    from dream_yara_tpu.index.fmindex import FMIndex
+    from dream_yara_tpu.io.readstore import ReadBatch
+    from dream_yara_tpu.io.seqstore import SeqStore
+    from dream_yara_tpu.pipeline.mapper import map_single_bin
+    from dream_yara_tpu.pipeline.writer import _write_se_python, write_se_records
+    from dream_yara_tpu.utils.alphabet import revcomp
+    from dream_yara_tpu.utils.options import MapperOptions
+    from tests.conftest import mutate
+
+    seg = random_text(rng, 600)
+    genome = np.concatenate([random_text(rng, 4000), seg, seg.copy()])
+    store = SeqStore.from_seqs(["cA", "cB"], [genome[:2500], genome[2500:]])
+    fm = FMIndex.build(store.text)
+    reads = []
+    for i in range(30):
+        p = int(rng.integers(0, 5100))
+        r = mutate(rng, store.text[p : p + 90].copy(), n_sub=2)
+        if (r >= 4).any():
+            r = random_text(rng, 90)
+        if i % 2:
+            r = revcomp(r)
+        reads.append(r)
+    reads.append(random_text(rng, 90))  # unmapped junk
+    batch = ReadBatch.from_reads([f"r{i}" for i in range(31)], reads)
+    opts = MapperOptions(error_rate=0.05, secondary_matches="tag")
+    ranked, cigars, contigs = map_single_bin(store, fm, batch, opts)
+    for mode in ("tag", "omit"):
+        want = _write_se_python(batch, contigs, ranked, cigars, mode)
+        got = write_se_records(batch, contigs, ranked, cigars, mode)
+        assert got == want, mode
