@@ -56,6 +56,13 @@ class InterleavedBloomFilter:
             return
         rows = ibf_rows(lo[valid], hi[valid], self.n_hashes, self.n_rows).reshape(-1)
         word, bit = divmod(bin_id, 32)
+        try:
+            from ..native import scatter
+            if scatter.available():
+                scatter.scatter_or(self.words, rows, word, 1 << bit)
+                return
+        except ImportError:
+            pass
         np.bitwise_or.at(self.words[:, word], rows, np.uint32(1 << bit))
 
     def clear_bins(self, bin_ids):

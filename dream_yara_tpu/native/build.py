@@ -11,6 +11,7 @@ LIBS = {
     "libdyalign.so": ["align.cpp"],
     "libdysais.so": ["sais.cpp"],
     "libdysamfmt.so": ["samfmt.cpp"],
+    "libdyscatter.so": ["scatter.cpp"],
     "libdyseqio.so": ["seqio.cpp"],
 }
 
