@@ -106,6 +106,16 @@ def seed_search(bwt_blocks, occ, counts, n, reads: jnp.ndarray,
     return lo, jnp.maximum(lo, hi)
 
 
+def gather_hit_rows(lo: jnp.ndarray, hi: jnp.ndarray, capacity: int):
+    """Like gather_hits but returns SA ROW indices (sampled-SA mode: the
+    caller locates them via ops.locate.locate_sampled_packed)."""
+    offs = jnp.arange(capacity, dtype=jnp.int32)
+    rows = lo[:, None] + offs[None, :]
+    mask = rows < hi[:, None]
+    overflow = jnp.maximum(hi - lo - capacity, 0)
+    return jnp.where(mask, rows, 0), mask, overflow
+
+
 def gather_hits(sa: jnp.ndarray, lo: jnp.ndarray, hi: jnp.ndarray, capacity: int):
     """Expand SA intervals into text positions with a per-seed capacity.
 

@@ -26,11 +26,29 @@ class DeviceFM(NamedTuple):
     n: jnp.ndarray           # () int32 text length
     pfx_lo: jnp.ndarray | None = None  # (4^q,) int32 q-mer interval table
     pfx_hi: jnp.ndarray | None = None
+    # sampled-SA mode (sample_rate > 1): `sa` holds only the sampled values;
+    # locate walks LF to a marked row (ops/locate.py). Packed layout costs
+    # ~n/6 bytes vs 4n for the full SA (the HBM lever for big bins, §5.7).
+    sa_mark_bits: jnp.ndarray | None = None  # (ceil(n/32),) uint32 mark bitmap
+    sa_rank_ck: jnp.ndarray | None = None    # (ceil(n/128)+1,) int32 mark-rank checkpoints
 
     @classmethod
     def from_host(cls, fm: FMIndex, text: np.ndarray) -> "DeviceFM":
-        if fm.sample_rate != 1:
-            raise NotImplementedError("device locate currently wants the full SA")
+        mark_bits = rank_ck = None
+        if fm.sample_rate > 1:
+            marked = fm.sa_marked.astype(bool)
+            n = fm.n
+            nw = ((n + 31) // 32 + 3) // 4 * 4  # pad to 4-word groups
+            padded = np.zeros(nw * 32, dtype=bool)
+            padded[:n] = marked
+            bits = padded.reshape(nw, 32)
+            mark_bits = (bits.astype(np.uint32)
+                         << np.arange(32, dtype=np.uint32)[None, :]).sum(
+                             axis=1, dtype=np.uint32)
+            nck = (n + 127) // 128
+            per = padded[: nck * 128].reshape(nck, 128).sum(axis=1)
+            rank_ck = np.zeros(nck + 1, dtype=np.int32)
+            np.cumsum(per, out=rank_ck[1:])
         return cls(
             bwt_blocks=jnp.asarray(fm.bwt_blocks),
             occ=jnp.asarray(fm.occ),
@@ -40,6 +58,8 @@ class DeviceFM(NamedTuple):
             n=jnp.asarray(fm.n, dtype=jnp.int32),
             pfx_lo=None if fm.pfx_lo is None else jnp.asarray(fm.pfx_lo),
             pfx_hi=None if fm.pfx_hi is None else jnp.asarray(fm.pfx_hi),
+            sa_mark_bits=None if mark_bits is None else jnp.asarray(mark_bits),
+            sa_rank_ck=None if rank_ck is None else jnp.asarray(rank_ck),
         )
 
 

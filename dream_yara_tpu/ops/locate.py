@@ -48,3 +48,56 @@ def locate_sampled(bwt_blocks, occ, counts, sa_samples, sa_marked, sa_rank,
     rows, steps = jax.lax.fori_loop(0, sample_rate - 1, body, (rows, steps0))
     base = jnp.take(sa_samples, jnp.take(sa_rank, rows))
     return base + steps
+
+
+def locate_sampled_packed(bwt_blocks, occ, counts, sa_samples, mark_bits,
+                          rank_ck, rows: jnp.ndarray, sample_rate: int,
+                          valid=None) -> jnp.ndarray:
+    """Packed-bitmap edition for the device hot path (DeviceFM layout):
+    mark bitmap as (n/32,) uint32 words + mark-rank checkpoints every 128 rows
+    (~n/6 bytes total vs the 5n-byte host-oracle arrays).
+    """
+    Q = rows.shape[0]
+    steps0 = jnp.zeros(Q, dtype=jnp.int32)
+    if valid is not None:
+        rows = jnp.where(valid, rows, 0)
+
+    def is_marked(r):
+        w = jnp.take(mark_bits, r >> 5)
+        return ((w >> (r & 31).astype(jnp.uint32)) & 1) > 0
+
+    def body(_t, carry):
+        rows, steps = carry
+        marked = is_marked(rows)
+        b = rows >> _LOG2_BLOCK
+        r = rows & (BLOCK - 1)
+        blk = jnp.take(bwt_blocks, b, axis=0)                    # (Q, 128)
+        c = jnp.take_along_axis(blk, r[:, None], axis=1)[:, 0].astype(jnp.int32)
+        lf = jnp.take(counts, c) + rank(bwt_blocks, occ, c, rows)
+        rows = jnp.where(marked, rows, lf)
+        steps = jnp.where(marked, steps, steps + 1)
+        return rows, steps
+
+    rows, steps = jax.lax.fori_loop(0, sample_rate - 1, body, (rows, steps0))
+
+    # mark-rank(row) = checkpoint + popcount of mark bits in [row & ~127, row)
+    ck = jnp.take(rank_ck, rows >> 7)
+    wrow = jnp.take(
+        mark_bits.reshape(-1, 4), rows >> 7, axis=0)             # (Q, 4) words
+    bit_in_blk = rows & 127
+    widx = jnp.arange(4, dtype=jnp.int32)[None, :]
+    full = jnp.minimum(jnp.maximum(bit_in_blk[:, None] - widx * 32, 0), 32)
+    full_c = jnp.clip(full, 0, 31).astype(jnp.uint32)
+    masked = jnp.where(full >= 32, wrow,
+                       wrow & ((jnp.uint32(1) << full_c) - jnp.uint32(1)))
+    masked = jnp.where(full <= 0, jnp.uint32(0), masked)
+    pc = _popcount32(masked).sum(axis=1)
+    base = jnp.take(sa_samples, ck + pc)
+    return base + steps
+
+
+def _popcount32(x):
+    x = x - ((x >> 1) & jnp.uint32(0x55555555))
+    x = (x & jnp.uint32(0x33333333)) + ((x >> 2) & jnp.uint32(0x33333333))
+    x = (x + (x >> 4)) & jnp.uint32(0x0F0F0F0F)
+    return ((x * jnp.uint32(0x01010101)) >> 24).astype(jnp.int32)

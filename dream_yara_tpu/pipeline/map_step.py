@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.backward_search import gather_hits, seed_search
+from ..ops.backward_search import gather_hit_rows, gather_hits, seed_search
 from ..ops.device_index import DeviceFM
 from ..ops.verify import banded_verify
 from .seeding import errors_for, make_seeds
@@ -64,13 +64,15 @@ def seed_stop_depth(prefix_q: int) -> int:
 
 @functools.partial(
     jax.jit, static_argnames=("rate_ppm", "max_errors", "capacity", "max_slen",
-                              "verify_capacity", "prefix_q", "use_pallas"))
+                              "verify_capacity", "prefix_q", "use_pallas",
+                              "sample_rate"))
 def single_bin_map_step(fm: DeviceFM, reads: jnp.ndarray, lengths: jnp.ndarray,
                         *, rate_ppm: int, max_errors: int, capacity: int,
                         max_slen: int,
                         verify_capacity: int | None = None,
                         prefix_q: int = 0,
-                        use_pallas: bool = False) -> MapStepOut:
+                        use_pallas: bool = False,
+                        sample_rate: int = 1) -> MapStepOut:
     R2, L = reads.shape
     n_reads = lengths.shape[0]
 
@@ -86,7 +88,17 @@ def single_bin_map_step(fm: DeviceFM, reads: jnp.ndarray, lengths: jnp.ndarray,
                          pfx_lo=fm.pfx_lo, pfx_hi=fm.pfx_hi,
                          prefix_q=prefix_q)
     starts = starts_eff  # anchors below = hit pos - offset of matched part
-    pos, hmask, overflow = gather_hits(fm.sa, lo, hi, capacity)
+    if sample_rate > 1:
+        # sampled SA: fetch row ids, then walk LF to marked rows
+        from ..ops.locate import locate_sampled_packed
+
+        sa_rows, hmask, overflow = gather_hit_rows(lo, hi, capacity)
+        pos = locate_sampled_packed(
+            fm.bwt_blocks, fm.occ, fm.counts, fm.sa, fm.sa_mark_bits,
+            fm.sa_rank_ck, sa_rows.reshape(-1), sample_rate,
+            valid=hmask.reshape(-1)).reshape(sa_rows.shape)
+    else:
+        pos, hmask, overflow = gather_hits(fm.sa, lo, hi, capacity)
 
     ns = max_errors + 1
     A = (pos - starts[:, None]).reshape(R2, ns * capacity)

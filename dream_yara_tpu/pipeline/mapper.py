@@ -81,7 +81,8 @@ class BinMapper:
                     capacity=capacity, max_slen=max_slen,
                     verify_capacity=vcap,
                     prefix_q=self.fm.prefix_q if self.dev.pfx_lo is not None else 0,
-                    use_pallas=self.use_pallas)
+                    use_pallas=self.use_pallas,
+                    sample_rate=self.fm.sample_rate)
             pending.append((out, ids, reads_c, lens_c))
 
         parts: list[Matches] = []
@@ -97,7 +98,8 @@ class BinMapper:
                         capacity=capacity, max_slen=max_slen,
                         verify_capacity=None,
                         prefix_q=self.fm.prefix_q if self.dev.pfx_lo is not None else 0,
-                        use_pallas=self.use_pallas)
+                        use_pallas=self.use_pallas,
+                        sample_rate=self.fm.sample_rate)
                     out = MapStepOut(*(np.asarray(x) for x in out))
             with self.timers.stage("collect matches (host)"):
                 m = build_matches(out.row, out.begin, out.end, out.dist, out.ok,
@@ -186,7 +188,11 @@ class BinMapper:
             slen = l // (e + 1)
             # matched part = the seed's last min(slen, t_stop) chars
             start = sidx * slen + (slen - min(slen, t_stop))
-            pos = sa[lo:hi].astype(np.int64)
+            if self.fm.sample_rate > 1:
+                pos = np.array([self.fm.locate(r) for r in range(lo, hi)],
+                               dtype=np.int64)
+            else:
+                pos = sa[lo:hi].astype(np.int64)
             rows_l.append(np.full(len(pos), row, dtype=np.int32))
             anchors_l.append((pos - start).astype(np.int32))
         if not rows_l:

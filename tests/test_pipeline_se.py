@@ -142,3 +142,14 @@ def test_sam_secondary_records_mode():
     # multi-mapping -> mapq 3 on primary
     prim = [r for r in records if not int(r.split("\t")[1]) & 0x100]
     assert all(int(r.split("\t")[4]) == 3 for r in prim)
+
+
+def test_sampled_sa_pipeline_identical():
+    """sample_rate=8 must produce byte-identical results to the full SA."""
+    rng = np.random.default_rng(9)
+    store, fm, batch = make_case(rng, n_reads=25)
+    fm8 = fm.subsample_sa(8)
+    opts = MapperOptions(error_rate=0.05)
+    sam_full = single_bin_sam(store, fm, batch, opts)
+    sam_samp = single_bin_sam(store, fm8, batch, opts)
+    assert sam_full == sam_samp
