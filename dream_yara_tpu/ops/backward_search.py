@@ -51,7 +51,7 @@ def backward_search(bwt_blocks, occ, counts, n,
 def seed_search(bwt_blocks, occ, counts, n, reads: jnp.ndarray,
                 rows: jnp.ndarray, starts: jnp.ndarray, slens: jnp.ndarray,
                 max_seed_len: int,
-                pfx_lo=None, pfx_hi=None, prefix_q: int = 0):
+                pfx_lo=None, pfx_hi=None, prefix_q: int = 0, fused=None):
     """Exact backward search of variable-length seeds cut from the read matrix.
 
     reads: (R2, L) int8; rows/starts/slens: (S,) int32 — seed s is
@@ -95,7 +95,11 @@ def seed_search(bwt_blocks, occ, counts, n, reads: jnp.ndarray,
         idx = starts + slens - 1 - tt
         c = jnp.take(flat, rows * L + jnp.clip(idx, 0, L - 1)).astype(jnp.int32)
         bounds = jnp.concatenate([lo, hi])
-        ranks = rank(bwt_blocks, occ, jnp.tile(c, 2), bounds)
+        if fused is not None:
+            from .rank import rank_fused
+            ranks = rank_fused(fused, jnp.tile(c, 2), bounds)
+        else:
+            ranks = rank(bwt_blocks, occ, jnp.tile(c, 2), bounds)
         cc = jnp.take(counts, c)
         nlo = cc + ranks[:S]
         nhi = cc + ranks[S:]

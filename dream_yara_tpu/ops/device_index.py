@@ -31,9 +31,11 @@ class DeviceFM(NamedTuple):
     # ~n/6 bytes vs 4n for the full SA (the HBM lever for big bins, §5.7).
     sa_mark_bits: jnp.ndarray | None = None  # (ceil(n/32),) uint32 mark bitmap
     sa_rank_ck: jnp.ndarray | None = None    # (ceil(n/128)+1,) int32 mark-rank checkpoints
+    fused: jnp.ndarray | None = None         # (n_blocks+1, 24) int32 fused rank rows
 
     @classmethod
     def from_host(cls, fm: FMIndex, text: np.ndarray) -> "DeviceFM":
+        from .rank import build_fused_rank_rows
         mark_bits = rank_ck = None
         if fm.sample_rate > 1:
             marked = fm.sa_marked.astype(bool)
@@ -60,6 +62,7 @@ class DeviceFM(NamedTuple):
             pfx_hi=None if fm.pfx_hi is None else jnp.asarray(fm.pfx_hi),
             sa_mark_bits=None if mark_bits is None else jnp.asarray(mark_bits),
             sa_rank_ck=None if rank_ck is None else jnp.asarray(rank_ck),
+            fused=jnp.asarray(build_fused_rank_rows(fm.bwt_blocks, fm.occ)),
         )
 
 

@@ -38,3 +38,44 @@ def rank(bwt_blocks: jnp.ndarray, occ: jnp.ndarray,
 def lf_step(bwt_blocks, occ, counts, c, i):
     """LF mapping: row of the suffix preceded by c: counts[c] + rank(c, i)."""
     return jnp.take(counts, c) + rank(bwt_blocks, occ, c, i)
+
+
+def build_fused_rank_rows(bwt_blocks: "np.ndarray", occ: "np.ndarray"):
+    """Host-side: fuse occ checkpoints + 4-bit-packed BWT chars into one
+    int32 row per block: cols 0..5 = occ counts, cols 6..21 = 128 chars
+    (8 per word, low nibble first), cols 22..23 pad.
+
+    Rationale: TPU gathers cost per index, and the plain rank issues THREE
+    per query (bwt row, occ row, take_along on the occ row). One fused row
+    serves the whole query; the occ column select becomes compare-selects.
+    """
+    import numpy as np
+
+    nb = bwt_blocks.shape[0]
+    fused = np.zeros((nb + 1, 24), dtype=np.int32)
+    fused[: occ.shape[0], :6] = occ[: nb + 1]
+    if occ.shape[0] < nb + 1:
+        fused[occ.shape[0] :, :6] = occ[-1]
+    chars = bwt_blocks.astype(np.uint32).reshape(nb, 16, 8)
+    shifts = (np.arange(8, dtype=np.uint32) * 4)[None, None, :]
+    words = (chars << shifts).sum(axis=2, dtype=np.uint32)
+    fused[:nb, 6:22] = words.astype(np.int32, casting="unsafe")
+    # pad block decodes to char 0; rank beyond n never consults it in-block
+    return fused
+
+
+def rank_fused(fused: jnp.ndarray, c: jnp.ndarray, i: jnp.ndarray) -> jnp.ndarray:
+    """rank via ONE row gather from the fused table (see build_fused_rank_rows)."""
+    b = i >> _LOG2_BLOCK
+    r = i & (BLOCK - 1)
+    row = jnp.take(fused, b, axis=0)                    # (Q, 24) — one gather
+    base = jnp.zeros(c.shape, dtype=jnp.int32)
+    for j in range(6):
+        base = base + jnp.where(c == j, row[:, j], 0)
+    words = row[:, 6:22].astype(jnp.uint32)             # (Q, 16)
+    nib = (jnp.arange(8, dtype=jnp.uint32) * 4)[None, None, :]
+    chars = ((words[:, :, None] >> nib) & 7).reshape(c.shape[0], BLOCK)
+    pos = jnp.arange(BLOCK, dtype=jnp.int32)
+    within = ((chars == c[:, None].astype(jnp.uint32)) &
+              (pos[None, :] < r[:, None])).sum(axis=1, dtype=jnp.int32)
+    return base + within

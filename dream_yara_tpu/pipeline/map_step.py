@@ -86,7 +86,7 @@ def single_bin_map_step(fm: DeviceFM, reads: jnp.ndarray, lengths: jnp.ndarray,
                          reads, rows, starts_eff, slens_eff,
                          min(max_slen, t_stop),
                          pfx_lo=fm.pfx_lo, pfx_hi=fm.pfx_hi,
-                         prefix_q=prefix_q)
+                         prefix_q=prefix_q, fused=fm.fused)
     starts = starts_eff  # anchors below = hit pos - offset of matched part
     if sample_rate > 1:
         # sampled SA: fetch row ids, then walk LF to marked rows

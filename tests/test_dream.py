@@ -132,3 +132,41 @@ def test_dynamic_update(dream_db):
     for rid, (b, _, _) in enumerate(truth):
         if b != 2:
             assert rec_a[batch.names[rid]] == rec_b[batch.names[rid]]
+
+
+def test_metagenomic_skew():
+    """Config-5 shape: many small bins, heavily skewed routing (90% of reads
+    from one genome) — correctness and selective routing must hold."""
+    rng = np.random.default_rng(55)
+    B = 32
+    sizes = [1500 + int(rng.integers(0, 3000)) for _ in range(B)]
+    genomes = [random_text(rng, s) for s in sizes]
+    stores = [SeqStore.from_seqs([f"g{b}"], [genomes[b]]) for b in range(B)]
+    fms = [FMIndex.build(st.text) for st in stores]
+    ibf = InterleavedBloomFilter.create(B, size_bits=1 << 22, n_hashes=3, k=19)
+    for b, g in enumerate(genomes):
+        ibf.add_kmers(g, b)
+    index = DreamIndex(stores, fms, ibf, "bloom")
+
+    names, reads, truth = [], [], []
+    hot = 7
+    for i in range(60):
+        b = hot if i % 10 else int(rng.integers(0, B))   # 90% from bin `hot`
+        g = genomes[b]
+        p = int(rng.integers(0, len(g) - 100))
+        r = mutate(rng, g[p : p + 100].copy(), n_sub=1)
+        names.append(f"r{i}")
+        reads.append(r)
+        truth.append((b, p))
+    batch = ReadBatch.from_reads(names, reads)
+    opts = MapperOptions(error_rate=0.03)
+
+    routing = classify_reads(index, batch, opts)
+    # selective despite skew: vast majority of (read, bin) pairs pruned
+    assert routing.sum() < 60 * 4
+    sam = dream_map_sam(index, batch, opts)
+    recs = {l.split("\t")[0]: l.split("\t")
+            for l in sam.splitlines() if not l.startswith("@")}
+    correct = sum(1 for i, (b, p) in enumerate(truth)
+                  if recs[f"r{i}"][2] == f"g{b}" and int(recs[f"r{i}"][3]) == p + 1)
+    assert correct == len(truth)

@@ -195,3 +195,15 @@ def test_locate_sampled_device(fixture):
         jnp.asarray(fms.sa_rank), rows, sample_rate=8))
     want = fm.sa[np.asarray(rows)]
     assert np.array_equal(got, want)
+
+
+def test_rank_fused_matches_plain(fixture):
+    from dream_yara_tpu.ops.rank import build_fused_rank_rows, rank_fused
+
+    rng, text, fm, dev = fixture
+    fused = jnp.asarray(build_fused_rank_rows(fm.bwt_blocks, fm.occ))
+    c = rng.integers(0, 6, 500).astype(np.int32)
+    i = rng.integers(0, fm.n + 1, 500).astype(np.int32)
+    got = np.asarray(rank_fused(fused, jnp.asarray(c), jnp.asarray(i)))
+    want = np.asarray(rank(dev.bwt_blocks, dev.occ, jnp.asarray(c), jnp.asarray(i)))
+    assert np.array_equal(got, want)
