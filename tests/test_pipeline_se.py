@@ -153,3 +153,29 @@ def test_sampled_sa_pipeline_identical():
     sam_full = single_bin_sam(store, fm, batch, opts)
     sam_samp = single_bin_sam(store, fm8, batch, opts)
     assert sam_full == sam_samp
+
+
+@pytest.mark.parametrize("strata", [1, 2])
+def test_strata_count_matches_golden(strata):
+    """-s strata reporting window vs the golden model."""
+    rng = np.random.default_rng(12)
+    # duplicated segment => co- and sub-optimal matches exist
+    seg = random_text(rng, 800)
+    seg2 = seg.copy()
+    seg2[::97] = (seg2[::97] + 1) % 4       # a slightly diverged copy
+    store = SeqStore.from_seqs(["a", "b"], [np.concatenate([random_text(rng, 1500), seg]),
+                                            np.concatenate([seg2, random_text(rng, 1200)])])
+    fm = FMIndex.build(store.text)
+    reads = [seg[i * 60 : i * 60 + 80].copy() for i in range(8)]
+    batch = ReadBatch.from_reads([f"r{i}" for i in range(8)], reads)
+    opts = MapperOptions(error_rate=0.05, strata_count=strata)
+    ranked, cigars, contigs = map_single_bin(store, fm, batch, opts)
+    golden = golden_map_se(store, fm, batch, error_rate=0.05, strata_count=strata)
+    m = ranked.matches
+    for rid in range(batch.n_reads):
+        got = [(int(m.dist[i]), int(m.begin[i]), int(m.end[i]), int(m.strand[i]))
+               for i in np.flatnonzero(m.read_id == rid)]
+        want = golden[rid].matches
+        assert got == want, rid
+        assert int(ranked.c1[rid]) == golden[rid].c1
+        assert int(ranked.c2[rid]) == golden[rid].c2
