@@ -1,14 +1,13 @@
 // SAM record formatter — the byte-assembly half of the reference's
 // MatchesWriter (src/mapper_writer.h [U]). Field SEMANTICS (flags, MAPQ,
-// positions, tag payloads) are decided in Python (pipeline/writer.py); this
-// routine only turns per-record arrays into SAM text fast (integer printing
-// and memcpy dominate the Python writer loop).
+// positions, mate fields, tag payloads) are decided in Python
+// (pipeline/writer.py); this routine only turns per-record arrays into SAM
+// text fast (integer printing and memcpy dominate the Python writer loop).
 //
 // Build: g++ -O3 -march=native -shared -fPIC samfmt.cpp -o libdysamfmt.so
 
 #include <cstdint>
 #include <cstring>
-#include <cstdio>
 
 namespace {
 
@@ -30,17 +29,20 @@ inline char* put_mem(char* p, const uint8_t* s, int64_t len) {
 
 extern "C" {
 
+// Generic SAM line assembly (SE and PE primaries).
+// rnext_idx: contig index, -1 => "*", -2 => "=".
 // Returns bytes written, or -1 if out_cap is too small.
-int64_t dy_format_se(
+int64_t dy_format_records(
     int32_t n,
     const uint8_t* names, const int64_t* name_off,
     const int32_t* flag, const int32_t* rname_idx, const int64_t* pos1,
     const int32_t* mapq,
     const uint8_t* cig, const int64_t* cig_off,
+    const int32_t* rnext_idx, const int64_t* pnext, const int64_t* tlen,
     const uint8_t* seqmat, int64_t seq_stride,
     const int32_t* seq_row, const int32_t* seq_len,
     const uint8_t* quals, const int64_t* qual_off, const uint8_t* qual_rev,
-    const int32_t* nm,
+    const uint8_t* has_nm, const int32_t* nm,
     const uint8_t* extra, const int64_t* extra_off,
     const uint8_t* cnames, const int64_t* cname_off,
     uint8_t* out, int64_t cap) {
@@ -48,9 +50,9 @@ int64_t dy_format_se(
     char* lim = p + cap;
 
     for (int32_t i = 0; i < n; i++) {
-        int64_t need = (name_off[i + 1] - name_off[i]) + 64 +
+        int64_t need = (name_off[i + 1] - name_off[i]) + 128 +
                        (cig_off[i + 1] - cig_off[i]) + 2 * seq_len[i] +
-                       (extra_off[i + 1] - extra_off[i]) + 64;
+                       (extra_off[i + 1] - extra_off[i]) + 128;
         if (p + need > lim) return -1;
 
         p = put_mem(p, names + name_off[i], name_off[i + 1] - name_off[i]);
@@ -70,8 +72,20 @@ int64_t dy_format_se(
         *p++ = '\t';
         if (cig_off[i + 1] == cig_off[i]) *p++ = '*';
         else p = put_mem(p, cig + cig_off[i], cig_off[i + 1] - cig_off[i]);
-        std::memcpy(p, "\t*\t0\t0\t", 7);
-        p += 7;
+        *p++ = '\t';
+        if (rnext_idx[i] == -1) {
+            *p++ = '*';
+        } else if (rnext_idx[i] == -2) {
+            *p++ = '=';
+        } else {
+            int32_t c = rnext_idx[i];
+            p = put_mem(p, cnames + cname_off[c], cname_off[c + 1] - cname_off[c]);
+        }
+        *p++ = '\t';
+        p = put_int(p, pnext[i]);
+        *p++ = '\t';
+        p = put_int(p, tlen[i]);
+        *p++ = '\t';
         p = put_mem(p, seqmat + int64_t(seq_row[i]) * seq_stride, seq_len[i]);
         *p++ = '\t';
         int64_t ql = qual_off[i + 1] - qual_off[i];
@@ -83,7 +97,7 @@ int64_t dy_format_se(
         } else {
             p = put_mem(p, quals + qual_off[i], ql);
         }
-        if (rname_idx[i] >= 0) {
+        if (has_nm[i]) {
             std::memcpy(p, "\tNM:i:", 6);
             p += 6;
             p = put_int(p, nm[i]);

@@ -24,19 +24,20 @@ def _load():
     i8p = ctypes.POINTER(ctypes.c_uint8)
     i32p = ctypes.POINTER(ctypes.c_int32)
     i64p = ctypes.POINTER(ctypes.c_int64)
-    lib.dy_format_se.argtypes = [
+    lib.dy_format_records.argtypes = [
         ctypes.c_int32,
         i8p, i64p,                 # names
         i32p, i32p, i64p, i32p,    # flag, rname, pos1, mapq
         i8p, i64p,                 # cigar
+        i32p, i64p, i64p,          # rnext, pnext, tlen
         i8p, ctypes.c_int64, i32p, i32p,  # seqmat, stride, row, len
         i8p, i64p, i8p,            # quals, off, rev
-        i32p,                      # nm
+        i8p, i32p,                 # has_nm, nm
         i8p, i64p,                 # extra
         i8p, i64p,                 # contig names
         i8p, ctypes.c_int64,       # out
     ]
-    lib.dy_format_se.restype = ctypes.c_int64
+    lib.dy_format_records.restype = ctypes.c_int64
     _lib = lib
     return _lib
 
@@ -63,24 +64,41 @@ def pack_strs(items: list[bytes]) -> tuple[np.ndarray, np.ndarray]:
     return np.frombuffer(b"".join(items), dtype=np.uint8), off
 
 
-def format_se(names_b, name_off, flag, rname_idx, pos1, mapq,
-              cig_b, cig_off, seqmat, seq_row, seq_len,
-              quals_b, qual_off, qual_rev, nm,
-              extra_b, extra_off, cnames_b, cname_off) -> bytes:
+def format_records(names_b, name_off, flag, rname_idx, pos1, mapq,
+                   cig_b, cig_off, rnext_idx, pnext, tlen,
+                   seqmat, seq_row, seq_len,
+                   quals_b, qual_off, qual_rev, has_nm, nm,
+                   extra_b, extra_off, cnames_b, cname_off) -> bytes:
     lib = _load()
     if lib is None:
         raise RuntimeError("native samfmt unavailable")
+    # enforce exact dtypes: ctypes pointers reinterpret raw memory, so an
+    # int64 array passed as int32* silently reads garbage
+    flag = np.ascontiguousarray(flag, dtype=np.int32)
+    rname_idx = np.ascontiguousarray(rname_idx, dtype=np.int32)
+    pos1 = np.ascontiguousarray(pos1, dtype=np.int64)
+    mapq = np.ascontiguousarray(mapq, dtype=np.int32)
+    rnext_idx = np.ascontiguousarray(rnext_idx, dtype=np.int32)
+    pnext = np.ascontiguousarray(pnext, dtype=np.int64)
+    tlen = np.ascontiguousarray(tlen, dtype=np.int64)
+    seq_row = np.ascontiguousarray(seq_row, dtype=np.int32)
+    seq_len = np.ascontiguousarray(seq_len, dtype=np.int32)
+    qual_rev = np.ascontiguousarray(qual_rev, dtype=np.uint8)
+    has_nm = np.ascontiguousarray(has_nm, dtype=np.uint8)
+    nm = np.ascontiguousarray(nm, dtype=np.int32)
     n = len(flag)
     cap = int(name_off[-1] + cig_off[-1] + 2 * int(seq_len.sum())
-              + extra_off[-1] + 96 * n + 1024)
+              + extra_off[-1] + 256 * n + 1024)
     out = np.empty(cap, dtype=np.uint8)
     seqmat = np.ascontiguousarray(seqmat, dtype=np.uint8)
-    total = lib.dy_format_se(
+    total = lib.dy_format_records(
         n, _p8(names_b), _p64(name_off),
         _p32(flag), _p32(rname_idx), _p64(pos1), _p32(mapq),
         _p8(cig_b), _p64(cig_off),
+        _p32(rnext_idx), _p64(pnext), _p64(tlen),
         _p8(seqmat), seqmat.shape[1], _p32(seq_row), _p32(seq_len),
-        _p8(quals_b), _p64(qual_off), _p8(qual_rev), _p32(nm),
+        _p8(quals_b), _p64(qual_off), _p8(qual_rev),
+        _p8(has_nm), _p32(nm),
         _p8(extra_b), _p64(extra_off), _p8(cnames_b), _p64(cname_off),
         _p8(out), cap)
     if total < 0:

@@ -129,10 +129,106 @@ def _write_se_native(batch: ReadBatch, contigs: GlobalContigs, ranked,
     extra_b, extra_off = samfmt.pack_strs(extras)
     cnames_b, cname_off = samfmt.pack_strs([s.encode() for s in contigs.names])
 
-    text = samfmt.format_se(names_b, name_off, flag, rname, pos1, mapq,
-                            cig_b, cig_off, seqmat, seq_row, seq_len,
-                            quals_b, qual_off, qual_rev, nm,
-                            extra_b, extra_off, cnames_b, cname_off)
+    rnext = np.full(n, -1, dtype=np.int32)
+    zeros = np.zeros(n, dtype=np.int64)
+    text = samfmt.format_records(
+        names_b, name_off, flag, rname, pos1, mapq, cig_b, cig_off,
+        rnext, zeros, zeros, seqmat, seq_row, seq_len,
+        quals_b, qual_off, qual_rev, mapped.astype(np.uint8), nm,
+        extra_b, extra_off, cnames_b, cname_off)
+    return text.decode().splitlines()
+
+
+def _write_pe_native(batch: ReadBatch, contigs: GlobalContigs, ranked,
+                     cigars: list[str], pair_info, secondary_mode: str,
+                     samfmt) -> list[str]:
+    """Vectorized PE field prep + C++ byte assembly (mirrors the Python
+    write_pe_records loop exactly; tested equal)."""
+    from .mapq import compute_mapq
+
+    n = batch.n_reads
+    h = n // 2
+    m = ranked.matches
+    ids = np.arange(n)
+    mate = np.where(ids < h, ids + h, ids - h)
+    prim = pair_info.primary_idx
+    mate_p = prim[mate]
+    mapped = prim >= 0
+    mate_mapped = mate_p >= 0
+    pc = np.where(mapped, prim, 0).astype(np.int64)
+    mc = np.where(mate_mapped, mate_p, 0).astype(np.int64)
+    has_m = len(m) > 0
+    my_strand = (m.strand[pc].astype(np.int32) if has_m else np.zeros(n, np.int32)) * mapped
+    mate_strand = (m.strand[mc].astype(np.int32) if has_m else np.zeros(n, np.int32)) * mate_mapped
+
+    flag = (np.full(n, FLAG_PAIRED, dtype=np.int32)
+            | np.where(ids < h, FLAG_FIRST, FLAG_LAST)
+            | np.where(mapped, 0, FLAG_UNMAPPED)
+            | np.where(mate_mapped, 0, FLAG_MATE_UNMAPPED)
+            | my_strand * FLAG_RC
+            | mate_strand * FLAG_MATE_RC
+            | pair_info.proper.astype(np.int32) * FLAG_PROPER)
+
+    if has_m:
+        cid_all, lpos_all = contigs.local_pos(m.begin)
+        my_cid = cid_all[pc]
+        my_pos1 = lpos_all[pc] + 1
+        mate_cid = cid_all[mc]
+        mate_pos1 = lpos_all[mc] + 1
+        my_beg, my_end = m.begin[pc], m.end[pc]
+        mt_beg, mt_end = m.begin[mc], m.end[mc]
+    else:
+        my_cid = my_pos1 = mate_cid = mate_pos1 = np.zeros(n, np.int64)
+        my_beg = my_end = mt_beg = mt_end = np.zeros(n, np.int64)
+
+    rname = np.where(mapped, my_cid,
+                     np.where(mate_mapped, mate_cid, -1)).astype(np.int32)
+    pos1 = np.where(mapped, my_pos1,
+                    np.where(mate_mapped, mate_pos1, 0)).astype(np.int64)
+    mapq = np.where(mapped, compute_mapq(ranked.c1, ranked.c2)[ids], 0).astype(np.int32)
+    nm = np.where(mapped, m.dist[pc] if has_m else 0, 0).astype(np.int32)
+
+    both = mapped & mate_mapped
+    same = both & (my_cid == mate_cid)
+    t = np.maximum(my_end, mt_end) - np.minimum(my_beg, mt_beg)
+    left = (my_beg < mt_beg) | ((my_beg == mt_beg) & (ids < h))
+    tlen = np.where(same, np.where(left, t, -t), 0).astype(np.int64)
+    rnext = np.where(~mapped & ~mate_mapped, -1,
+                     np.where(both & ~same, mate_cid, -2)).astype(np.int32)
+    pnext = np.where(~mapped & ~mate_mapped, 0,
+                     np.where(mate_mapped, mate_pos1, my_pos1)).astype(np.int64)
+
+    names_b, name_off = samfmt.pack_strs([s.encode() for s in batch.names])
+    cig_b, cig_off = samfmt.pack_strs(
+        [cigars[prim[i]].encode() if mapped[i] else b"" for i in range(n)])
+    seqmat = code_to_ascii(batch.seqs)
+    seq_row = (ids + my_strand * n).astype(np.int32)
+    seq_len = batch.lengths.astype(np.int32)
+    quals_b, qual_off = samfmt.pack_strs(batch.quals)
+    qual_rev = my_strand.astype(np.uint8)
+
+    grp_start = np.searchsorted(m.read_id, ids, side="left")
+    grp_end = np.searchsorted(m.read_id, ids, side="right")
+    extras = [b""] * n
+    if secondary_mode == "tag":
+        for rid in np.flatnonzero(mapped & (grp_end - grp_start > 1)):
+            s, e = int(grp_start[rid]), int(grp_end[rid])
+            alts = []
+            for mj in range(s, e):
+                if mj == prim[rid]:
+                    continue
+                st = "-" if m.strand[mj] else "+"
+                alts.append(f"{contigs.names[int(cid_all[mj])]},{st}"
+                            f"{int(lpos_all[mj]) + 1},{cigars[mj]},{int(m.dist[mj])}")
+            extras[rid] = ("\tXA:Z:" + ";".join(alts) + ";").encode()
+    extra_b, extra_off = samfmt.pack_strs(extras)
+    cnames_b, cname_off = samfmt.pack_strs([s.encode() for s in contigs.names])
+
+    text = samfmt.format_records(
+        names_b, name_off, flag, rname, pos1, mapq, cig_b, cig_off,
+        rnext, pnext, tlen, seqmat, seq_row, seq_len,
+        quals_b, qual_off, qual_rev, mapped.astype(np.uint8), nm,
+        extra_b, extra_off, cnames_b, cname_off)
     return text.decode().splitlines()
 
 
@@ -154,8 +250,21 @@ def write_pe_records(batch: ReadBatch, contigs: GlobalContigs, ranked,
     TLEN (both mates mapped, same contig): rightmost end - leftmost begin,
     positive on the leftmost mate (mate1 wins ties). Unmapped read with a
     mapped mate takes the mate's RNAME/POS (SAM pairing convention).
+
+    Dispatches to the C++ formatter for tag/omit modes (semantics identical
+    to the Python loop; tested equal).
     """
     from .mapq import compute_mapq
+
+    if secondary_mode in ("tag", "omit"):
+        try:
+            from ..native import samfmt
+
+            if samfmt.available():
+                return _write_pe_native(batch, contigs, ranked, cigars,
+                                        pair_info, secondary_mode, samfmt)
+        except ImportError:
+            pass
 
     m = ranked.matches
     mapq = compute_mapq(ranked.c1, ranked.c2)

@@ -110,3 +110,53 @@ def test_native_sam_formatter_matches_python(rng):
         want = _write_se_python(batch, contigs, ranked, cigars, mode)
         got = write_se_records(batch, contigs, ranked, cigars, mode)
         assert got == want, mode
+
+
+def test_native_pe_formatter_matches_python(rng):
+    from dream_yara_tpu.native import samfmt
+    if not samfmt.available():
+        pytest.skip("samfmt unavailable")
+    from dream_yara_tpu.index.fmindex import FMIndex
+    from dream_yara_tpu.io.readstore import ReadBatch
+    from dream_yara_tpu.io.seqstore import SeqStore
+    from dream_yara_tpu.pipeline.mapper import map_paired_bin
+    from dream_yara_tpu.pipeline.writer import write_pe_records
+    import dream_yara_tpu.pipeline.writer as W
+    from dream_yara_tpu.utils.alphabet import revcomp
+    from dream_yara_tpu.utils.options import MapperOptions
+    from tests.conftest import mutate
+
+    genome = random_text(rng, 20000)
+    store = SeqStore.from_seqs(["c0", "c1"], [genome[:9000], genome[9000:]])
+    fm = FMIndex.build(store.text)
+    m1, m2 = [], []
+    for i in range(16):
+        t = 300
+        p = int(rng.integers(0, 8000)) if i % 4 else int(rng.integers(9100, 19000))
+        g = store.text
+        r1 = mutate(rng, g[p : p + 100].copy(), n_sub=1)
+        r2 = revcomp(mutate(rng, g[p + t - 100 : p + t].copy(), n_sub=1))
+        if i == 5:
+            r2 = random_text(rng, 100)   # unmapped mate
+        if i == 6:
+            r1 = random_text(rng, 100)
+            r2 = random_text(rng, 100)   # fully unmapped pair
+        m1.append(r1); m2.append(r2)
+    batch = ReadBatch.from_reads([f"p{i}" for i in range(16)] * 2, m1 + m2,
+                                 paired=True)
+    opts = MapperOptions(error_rate=0.05, library_length=300,
+                         library_deviation=60)
+    ranked, cigars, contigs, pi = map_paired_bin(store, fm, batch, opts)
+    for mode in ("tag", "omit"):
+        want = W.write_pe_records.__wrapped__(batch, contigs, ranked, cigars, pi, mode) \
+            if hasattr(W.write_pe_records, "__wrapped__") else None
+        # call the python path by monkeypatching availability
+        import dream_yara_tpu.native.samfmt as sf
+        orig = sf.available
+        sf.available = lambda: False
+        try:
+            want = write_pe_records(batch, contigs, ranked, cigars, pi, mode)
+        finally:
+            sf.available = orig
+        got = write_pe_records(batch, contigs, ranked, cigars, pi, mode)
+        assert got == want, mode
