@@ -65,41 +65,55 @@ class BinMapper:
         half = chunk_rows // 2
         vcap = 4  # per-ROW verify lanes (vs ns*capacity dense slots per row)
 
-        # launch all chunks first (async dispatch), then drain results
+        from .map_step import pack_reads_fwd, single_bin_map_step_packed
+
+        prefix_q = self.fm.prefix_q if self.dev.pfx_lo is not None else 0
+        step_kw = dict(rate_ppm=rate_ppm, max_errors=max_err,
+                       capacity=capacity, max_slen=max_slen,
+                       prefix_q=prefix_q, use_pallas=self.use_pallas,
+                       sample_rate=self.fm.sample_rate)
+
+        # launch all chunks first (async dispatch), then drain results.
+        # uploads are 2-bit-packed fwd rows (~9x smaller — the tunnel's
+        # host->device path is slow); rc rows are rebuilt on device.
         pending = []
         for c0 in range(0, n, half):
             ids = np.arange(c0, min(c0 + half, n))
-            reads_c = np.full((chunk_rows, L), 4, dtype=np.int8)
             lens_c = np.zeros(half, dtype=np.int32)
-            reads_c[: len(ids)] = batch.seqs[ids]                       # fwd rows
-            reads_c[half : half + len(ids)] = batch.seqs[n + ids]       # rc rows
             lens_c[: len(ids)] = batch.lengths[ids]
+            packed, nmask = pack_reads_fwd(batch.seqs[ids], half, L)
+            pk, nk, lk = (jnp.asarray(packed), jnp.asarray(nmask),
+                          jnp.asarray(lens_c))
             with self.timers.stage("seed+search+verify (device)"):
-                out = single_bin_map_step(
-                    self.dev, jnp.asarray(reads_c), jnp.asarray(lens_c),
-                    rate_ppm=rate_ppm, max_errors=max_err,
-                    capacity=capacity, max_slen=max_slen,
-                    verify_capacity=vcap,
-                    prefix_q=self.fm.prefix_q if self.dev.pfx_lo is not None else 0,
-                    use_pallas=self.use_pallas,
-                    sample_rate=self.fm.sample_rate)
-            pending.append((out, ids, reads_c, lens_c))
+                out = single_bin_map_step_packed(
+                    self.dev, pk, nk, lk, L=L, verify_capacity=vcap, **step_kw)
+            pending.append((out, ids, (pk, nk, lk), lens_c))
+
+        def full_reads(ids):
+            reads_c = np.full((chunk_rows, L), 4, dtype=np.int8)
+            reads_c[: len(ids)] = batch.seqs[ids]
+            reads_c[half : half + len(ids)] = batch.seqs[n + ids]
+            return reads_c
 
         parts: list[Matches] = []
-        for out, ids, reads_c, lens_c in pending:
+        for out, ids, dev_in, lens_c in pending:
             with self.timers.stage("collect matches (host)"):
-                out = MapStepOut(*(np.asarray(x) for x in out))
+                # fetch the small per-candidate arrays; the (S,) seed-interval
+                # arrays (several MB over the tunnel) only on overflow
+                out = MapStepOut(
+                    row=np.asarray(out.row), begin=np.asarray(out.begin),
+                    end=np.asarray(out.end), dist=np.asarray(out.dist),
+                    ok=np.asarray(out.ok), seed_lo=out.seed_lo,
+                    seed_hi=out.seed_hi, overflow=out.overflow,
+                    overflow_total=np.asarray(out.overflow_total),
+                    n_spilled=np.asarray(out.n_spilled))
             if int(out.n_spilled) > 0:
                 # compaction spilled: redo this chunk verifying every slot
                 with self.timers.stage("dense re-verify (device)"):
-                    out = single_bin_map_step(
-                        self.dev, jnp.asarray(reads_c), jnp.asarray(lens_c),
-                        rate_ppm=rate_ppm, max_errors=max_err,
-                        capacity=capacity, max_slen=max_slen,
-                        verify_capacity=None,
-                        prefix_q=self.fm.prefix_q if self.dev.pfx_lo is not None else 0,
-                        use_pallas=self.use_pallas,
-                        sample_rate=self.fm.sample_rate)
+                    pk, nk, lk = dev_in
+                    out = single_bin_map_step_packed(
+                        self.dev, pk, nk, lk, L=L, verify_capacity=None,
+                        **step_kw)
                     out = MapStepOut(*(np.asarray(x) for x in out))
             with self.timers.stage("collect matches (host)"):
                 m = build_matches(out.row, out.begin, out.end, out.dist, out.ok,
@@ -107,7 +121,11 @@ class BinMapper:
                 m = self._remap_chunk(m, ids, half, n)
                 parts.append(m)
 
-            if (out.overflow > 0).any():
+            if int(out.overflow_total) > 0:
+                out = out._replace(seed_lo=np.asarray(out.seed_lo),
+                                   seed_hi=np.asarray(out.seed_hi),
+                                   overflow=np.asarray(out.overflow))
+                reads_c = full_reads(ids)
                 if self.opts.sensitivity == "full":
                     # complete: expand every spilled SA interval on host
                     with self.timers.stage("overflow fallback"):
