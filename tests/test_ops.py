@@ -207,3 +207,29 @@ def test_rank_fused_matches_plain(fixture):
     got = np.asarray(rank_fused(fused, jnp.asarray(c), jnp.asarray(i)))
     want = np.asarray(rank(dev.bwt_blocks, dev.occ, jnp.asarray(c), jnp.asarray(i)))
     assert np.array_equal(got, want)
+
+
+def test_pack_unpack_reads_roundtrip(rng):
+    from dream_yara_tpu.io.readstore import ReadBatch
+    from dream_yara_tpu.pipeline.map_step import pack_reads_fwd, unpack_reads
+
+    L = 73
+    half = 16
+    reads = []
+    for i in range(12):  # 12 real reads + 4 rows of padding
+        l = int(rng.integers(20, L + 1))
+        r = random_text(rng, l, n_rate=0.1 if i % 3 == 0 else 0)
+        reads.append(r)
+    batch = ReadBatch.from_reads([f"r{i}" for i in range(12)], reads, pad_to=L)
+    fwd = np.full((12, L), 4, np.int8)
+    fwd[:, :] = batch.seqs[:12]
+    packed, nmask = pack_reads_fwd(fwd, half, L)
+    lens = np.zeros(half, np.int32)
+    lens[:12] = batch.lengths
+    out = np.asarray(unpack_reads(jnp.asarray(packed), jnp.asarray(nmask),
+                                  jnp.asarray(lens), L))
+    # fwd rows match, rc rows match ReadBatch's precomputed rc rows
+    assert np.array_equal(out[:12], batch.seqs[:12])
+    assert np.array_equal(out[half : half + 12], batch.seqs[12:24])
+    # padding rows are all N
+    assert (out[12:half] == 4).all() and (out[half + 12 :] == 4).all()
