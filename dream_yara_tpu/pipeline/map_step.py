@@ -142,11 +142,33 @@ def single_bin_map_step_packed(fm: DeviceFM, packed: jnp.ndarray,
                                prefix_q: int = 0,
                                use_pallas: bool = False,
                                sample_rate: int = 1) -> MapStepOut:
-    """Packed-upload entry (see pack_reads_fwd): unpacks reads on device."""
+    """Packed-upload entry (see pack_reads_fwd): unpacks reads on device.
+
+    Returns (bundle, seed_lo, seed_hi, overflow): every per-candidate output
+    plus the two scalars concatenated into ONE int32 array, because each
+    device->host fetch pays a fixed tunnel cost — one fetch per chunk instead
+    of seven. Unpack with unbundle_out; the seed-interval arrays stay on
+    device until an overflow makes them needed.
+    """
     reads = unpack_reads(packed, nmask, lengths, L)
-    return _map_step_core(fm, reads, lengths, rate_ppm, max_errors, capacity,
-                          max_slen, verify_capacity, prefix_q, use_pallas,
-                          sample_rate)
+    out = _map_step_core(fm, reads, lengths, rate_ppm, max_errors, capacity,
+                         max_slen, verify_capacity, prefix_q, use_pallas,
+                         sample_rate)
+    bundle = jnp.concatenate([
+        out.row, out.begin, out.end, out.dist, out.ok.astype(jnp.int32),
+        out.overflow_total[None], out.n_spilled[None]])
+    return bundle, out.seed_lo, out.seed_hi, out.overflow
+
+
+def unbundle_out(bundle: np.ndarray, seed_lo, seed_hi, overflow) -> MapStepOut:
+    """Host-side inverse of the packed entry's bundling."""
+    cv = (len(bundle) - 2) // 5
+    f = lambda i: bundle[i * cv : (i + 1) * cv]
+    return MapStepOut(row=f(0), begin=f(1), end=f(2), dist=f(3),
+                      ok=f(4).astype(bool), seed_lo=seed_lo, seed_hi=seed_hi,
+                      overflow=overflow,
+                      overflow_total=bundle[5 * cv],
+                      n_spilled=bundle[5 * cv + 1])
 
 
 def _map_step_core(fm, reads, lengths, rate_ppm, max_errors, capacity,

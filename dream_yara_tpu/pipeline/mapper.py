@@ -65,7 +65,8 @@ class BinMapper:
         half = chunk_rows // 2
         vcap = 4  # per-ROW verify lanes (vs ns*capacity dense slots per row)
 
-        from .map_step import pack_reads_fwd, single_bin_map_step_packed
+        from .map_step import (pack_reads_fwd, single_bin_map_step_packed,
+                               unbundle_out)
 
         prefix_q = self.fm.prefix_q if self.dev.pfx_lo is not None else 0
         step_kw = dict(rate_ppm=rate_ppm, max_errors=max_err,
@@ -89,6 +90,7 @@ class BinMapper:
                     self.dev, pk, nk, lk, L=L, verify_capacity=vcap, **step_kw)
             pending.append((out, ids, (pk, nk, lk), lens_c))
 
+
         def full_reads(ids):
             reads_c = np.full((chunk_rows, L), 4, dtype=np.int8)
             reads_c[: len(ids)] = batch.seqs[ids]
@@ -98,23 +100,18 @@ class BinMapper:
         parts: list[Matches] = []
         for out, ids, dev_in, lens_c in pending:
             with self.timers.stage("collect matches (host)"):
-                # fetch the small per-candidate arrays; the (S,) seed-interval
-                # arrays (several MB over the tunnel) only on overflow
-                out = MapStepOut(
-                    row=np.asarray(out.row), begin=np.asarray(out.begin),
-                    end=np.asarray(out.end), dist=np.asarray(out.dist),
-                    ok=np.asarray(out.ok), seed_lo=out.seed_lo,
-                    seed_hi=out.seed_hi, overflow=out.overflow,
-                    overflow_total=np.asarray(out.overflow_total),
-                    n_spilled=np.asarray(out.n_spilled))
+                # ONE fetch for all per-candidate outputs + scalars; the (S,)
+                # seed-interval arrays stay on device unless overflow occurred
+                bundle, s_lo, s_hi, ovf = out
+                out = unbundle_out(np.asarray(bundle), s_lo, s_hi, ovf)
             if int(out.n_spilled) > 0:
                 # compaction spilled: redo this chunk verifying every slot
                 with self.timers.stage("dense re-verify (device)"):
                     pk, nk, lk = dev_in
-                    out = single_bin_map_step_packed(
+                    bundle, s_lo, s_hi, ovf = single_bin_map_step_packed(
                         self.dev, pk, nk, lk, L=L, verify_capacity=None,
                         **step_kw)
-                    out = MapStepOut(*(np.asarray(x) for x in out))
+                    out = unbundle_out(np.asarray(bundle), s_lo, s_hi, ovf)
             with self.timers.stage("collect matches (host)"):
                 m = build_matches(out.row, out.begin, out.end, out.dist, out.ok,
                                   n_reads=half)
