@@ -136,3 +136,111 @@ def golden_map_se(store, fm, batch, error_rate=0.05, strata_count=0,
         out.append(GoldenRead(
             [(d, b, e, s) for (d, b, s, e) in matches], best, c1, c2, mapq))
     return out
+
+
+def golden_map_pe(store, fm, batch, error_rate=0.05, strata_count=0,
+                  library_length=200, library_deviation=100, rescue=True,
+                  max_errors=None):
+    """Scalar PE oracle: SE mapping per mate + mate rescue + pair selection,
+    mirroring docs/OUTPUT_CONTRACT.md exactly (same tiled rescue anchors,
+    same combo key). Returns (reads: list[GoldenRead],
+    primaries: list[(strand,begin,end,dist)|None], proper: list[bool],
+    tlen: list[int])."""
+    n = batch.n_reads
+    h = n // 2
+    L = batch.max_len
+    rate_ppm = int(round(error_rate * 10_000))
+    E_band = max_errors if max_errors is not None else max(1, int(np.floor(L * error_rate)))
+    text = store.text
+    sent = np.flatnonzero(text == 5)
+
+    def crosses(b, e):
+        i = np.searchsorted(sent, b)
+        return i < len(sent) and sent[i] < e
+
+    reads = golden_map_se(store, fm, batch, error_rate=error_rate,
+                          strata_count=strata_count, max_errors=max_errors)
+
+    if rescue:
+        stride = 2 * E_band + 1
+        for rid in range(n):
+            mate = rid + h if rid < h else rid - h
+            if reads[rid].matches or not reads[mate].matches:
+                continue
+            mlen = int(batch.lengths[rid])
+            budget = (mlen * rate_ppm) // 10_000
+            found = {}
+            for (d0, beg0, end0, s0) in reads[mate].matches[:4]:
+                if s0 == 0:
+                    lo = beg0 + library_length - library_deviation - mlen
+                    hi = beg0 + library_length + library_deviation - mlen
+                    strand = 1
+                else:
+                    lo = end0 - library_length - library_deviation
+                    hi = end0 - library_length + library_deviation
+                    strand = 0
+                seq = batch.seqs[batch.seq_row(rid, bool(strand)), :mlen]
+                for a in range(lo, hi + 1, stride):
+                    dist, beg, end = golden_verify(text, a, seq, E_band)
+                    if dist <= budget and beg >= 0 and end <= len(text) \
+                            and not crosses(beg, end):
+                        key = (strand, beg, end)
+                        if key not in found or dist < found[key]:
+                            found[key] = dist
+            if not found:
+                continue
+            # same dedup/rank spec as golden_map_se
+            by_begin = {}
+            for (s, b, e), d in found.items():
+                cur = by_begin.get((s, b))
+                if cur is None or (d, e) < (cur[1], cur[0]):
+                    by_begin[(s, b)] = (e, d)
+            stage2 = {}
+            for (s, b), (e, d) in by_begin.items():
+                cur = stage2.get((s, e))
+                if cur is None or (d, b) < (cur[1], cur[0]):
+                    stage2[(s, e)] = (b, d)
+            mt = sorted((d, b, s, e) for (s, e), (b, d) in stage2.items())
+            best = mt[0][0]
+            mt = [x for x in mt if x[0] <= best + strata_count]
+            c1 = sum(1 for x in mt if x[0] == best)
+            c2 = len(mt) - c1
+            mapq = (40 if c2 == 0 else 20) if c1 == 1 else \
+                (3 if c1 == 2 else (1 if c1 in (3, 4) else 0))
+            reads[rid] = GoldenRead(
+                [(d, b, e, s) for (d, b, s, e) in mt], best, c1, c2, mapq)
+
+    # pair selection (contract: minimize (d1+d2, begin1, begin2, strand1))
+    primaries = [None] * n
+    proper = [False] * n
+    tlen = [0] * n
+    lo_t = library_length - library_deviation
+    hi_t = library_length + library_deviation
+    for r1 in range(h):
+        r2 = r1 + h
+        m1, m2 = reads[r1].matches, reads[r2].matches
+        if m1:
+            primaries[r1] = m1[0]
+        if m2:
+            primaries[r2] = m2[0]
+        if not m1 or not m2:
+            continue
+        contig_of = lambda b: int(np.searchsorted(store.offsets, b, side="right")) - 1
+        best = None
+        for (d1, b1, e1, s1) in m1:
+            for (d2, b2, e2, s2) in m2:
+                if s1 == s2 or contig_of(b1) != contig_of(b2):
+                    continue
+                t = (e2 - b1) if s1 == 0 else (e1 - b2)
+                if not (lo_t <= t <= hi_t):
+                    continue
+                key = (d1 + d2, b1, b2, s1)
+                if best is None or key < best[0]:
+                    best = (key, (d1, b1, e1, s1), (d2, b2, e2, s2), t)
+        if best is not None:
+            _, p1, p2, t = best
+            primaries[r1], primaries[r2] = p1, p2
+            proper[r1] = proper[r2] = True
+            tlen[r1] = t if p1[1] <= p2[1] else -t
+            tlen[r2] = -tlen[r1]
+    return reads, primaries, proper, tlen

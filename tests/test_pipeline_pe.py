@@ -107,3 +107,35 @@ def test_mate_rescue_machinery(rng):
         assert rid in got, f"mate {rid} not rescued"
         assert any(b == want_begin and s == 1 for b, s in got[rid]), \
             (got[rid], want_begin)
+
+
+def test_pe_pipeline_matches_golden_pe(rng):
+    """Full PE pipeline (incl. rescue + pair selection) vs the scalar oracle."""
+    from dream_yara_tpu.golden.golden_mapper import golden_map_pe
+
+    store, fm, batch, tlens, poss = make_pe_case(
+        rng, n_pairs=10, junk_mate2=(0, 3))
+    opts = MapperOptions(error_rate=0.05, library_length=300,
+                         library_deviation=50)
+    ranked, cigars, contigs, pi = map_paired_bin(store, fm, batch, opts)
+    g_reads, g_prim, g_proper, g_tlen = golden_map_pe(
+        store, fm, batch, error_rate=0.05,
+        library_length=300, library_deviation=50)
+
+    m = ranked.matches
+    n = batch.n_reads
+    for rid in range(n):
+        got = [(int(m.dist[i]), int(m.begin[i]), int(m.end[i]), int(m.strand[i]))
+               for i in np.flatnonzero(m.read_id == rid)]
+        assert got == g_reads[rid].matches, f"read {rid}"
+        assert int(ranked.c1[rid]) == g_reads[rid].c1, rid
+    for rid in range(n):
+        assert bool(pi.proper[rid]) == g_proper[rid], rid
+        assert int(pi.tlen[rid]) == g_tlen[rid], rid
+        p = int(pi.primary_idx[rid])
+        if g_prim[rid] is None:
+            assert p < 0, rid
+        else:
+            d, b, e, s = g_prim[rid]
+            assert (int(m.dist[p]), int(m.begin[p]), int(m.end[p]),
+                    int(m.strand[p])) == (d, b, e, s), rid
