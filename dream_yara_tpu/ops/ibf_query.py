@@ -79,3 +79,34 @@ def ibf_candidates(filter_words, reads, lengths, k, n_hashes, thresholds):
     """
     counts = ibf_bin_counts(filter_words, reads, lengths, k, n_hashes)
     return counts >= thresholds[:, None]
+
+
+import functools
+
+import jax
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("L", "k", "n_hashes", "rate_ppm"))
+def ibf_classify_packed(filter_words, packed, nmask, lengths, *, L: int,
+                        k: int, n_hashes: int, rate_ppm: int):
+    """Whole-batch classification from packed uploads: unpack fwd+rc rows on
+    device, count k-mers per bin, threshold by the k-mer lemma, OR the two
+    orientations, and bit-pack the (reads, bins) candidate mask so the
+    device->host fetch is one small array (SURVEY.md §3.1 HOT LOOP 1 with
+    tunnel-aware I/O)."""
+    from .readpack import unpack_reads
+
+    reads = unpack_reads(packed, nmask, lengths, L)          # (R2, L)
+    half = lengths.shape[0]
+    lengths2 = jnp.concatenate([lengths, lengths])
+    counts = ibf_bin_counts(filter_words, reads, lengths2, k, n_hashes)
+    e = (lengths2 * jnp.int32(rate_ppm)) // 10_000
+    thr = jnp.maximum((lengths2 - k + 1) - k * e, 1)
+    mask = counts >= thr[:, None]
+    cand = mask[:half] | mask[half:]                          # (half, Bp)
+    w = cand.shape[1] // 32
+    bits = cand.reshape(half, w, 32).astype(jnp.uint32)
+    words = (bits << jnp.arange(32, dtype=jnp.uint32)[None, None, :]).sum(
+        axis=2, dtype=jnp.uint32)
+    return words                                              # (half, Bp/32)

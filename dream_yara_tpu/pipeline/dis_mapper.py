@@ -33,7 +33,7 @@ from .pairs import rescue_candidates, select_pairs
 from .seeding import max_errors_for_batch, rate_to_ppm
 from .writer import GlobalContigs, sam_header, write_pe_records, write_se_records
 
-IBF_CHUNK = 4096  # seq rows per device IBF query
+IBF_READS = 32768  # reads per device IBF classify call
 
 
 def bin_file(db_dir, bin_id: int, kind: str) -> Path:
@@ -99,23 +99,23 @@ def classify_reads(index: DreamIndex, batch: ReadBatch, opts: MapperOptions,
     filt = index.filter
     rate_ppm = rate_to_ppm(opts.error_rate)
     words = jnp.asarray(filt.words)
-    R2 = 2 * n
-    lengths2 = np.concatenate([batch.lengths, batch.lengths]).astype(np.int32)
-    thresholds = np.maximum(
-        (lengths2 - filt.k + 1) - filt.k * ((lengths2 * rate_ppm) // 10_000), 1)
-    mask2 = np.zeros((R2, B), dtype=bool)
-    for c0 in range(0, R2, IBF_CHUNK):
-        rows = batch.seqs[c0 : c0 + IBF_CHUNK]
-        k = len(rows)
-        pad = IBF_CHUNK - k
-        if pad:
-            rows = np.concatenate(
-                [rows, np.full((pad, rows.shape[1]), 4, np.int8)])
-        lens = np.concatenate([lengths2[c0 : c0 + k], np.zeros(pad, np.int32)])
-        counts = np.asarray(ibf_bin_counts(
-            words, jnp.asarray(rows), jnp.asarray(lens), filt.k, filt.n_hashes))
-        mask2[c0 : c0 + k] = counts[:k, :B] >= thresholds[c0 : c0 + k, None]
-    return mask2[:n] | mask2[n:]
+    L = batch.max_len
+    from ..ops.ibf_query import ibf_classify_packed
+    from ..ops.readpack import pack_reads_fwd
+
+    mask = np.zeros((n, B), dtype=bool)
+    shifts = np.arange(32, dtype=np.uint32)
+    for c0 in range(0, n, IBF_READS):
+        ids = np.arange(c0, min(c0 + IBF_READS, n))
+        lens = np.zeros(IBF_READS, dtype=np.int32)
+        lens[: len(ids)] = batch.lengths[ids]
+        packed, nmask = pack_reads_fwd(batch.seqs[ids], IBF_READS, L)
+        cw = np.asarray(ibf_classify_packed(
+            words, jnp.asarray(packed), jnp.asarray(nmask), jnp.asarray(lens),
+            L=L, k=filt.k, n_hashes=filt.n_hashes, rate_ppm=rate_ppm))
+        bits = ((cw[:, :, None] >> shifts) & 1).astype(bool)
+        mask[ids] = bits.reshape(IBF_READS, -1)[: len(ids), :B]
+    return mask
 
 
 def _sub_batch(batch: ReadBatch, ids: np.ndarray) -> ReadBatch:

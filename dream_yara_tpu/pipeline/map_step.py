@@ -19,6 +19,7 @@ import numpy as np
 from ..ops.backward_search import gather_hit_rows, gather_hits, seed_search
 from ..ops.device_index import DeviceFM
 from ..ops.verify import banded_verify
+from ..ops.readpack import pack_reads_fwd, unpack_reads
 from .seeding import errors_for, make_seeds
 
 
@@ -55,55 +56,6 @@ def max_rep_seed_len_static(max_len: int, rate_ppm: int) -> int:
     return best
 
 
-def pack_reads_fwd(seqs_fwd: np.ndarray, half: int, L: int):
-    """Host-side: 2-bit-pack forward read rows + N bitmask for upload.
-
-    The axon tunnel moves ~40MB/s host->device with ~200ms fixed cost per
-    transfer; uploading raw (R2, L) int8 read matrices dominated the device
-    step. Packed fwd rows are ~9x smaller (2 bits/base, half the rows — the
-    rc rows are recomputed on device by unpack_reads).
-    """
-    k = seqs_fwd.shape[0]
-    Wp = (L + 15) // 16
-    Wn = (L + 31) // 32
-    codes = np.zeros((half, Wp * 16), dtype=np.uint32)
-    isn = np.zeros((half, Wn * 32), dtype=np.uint32)
-    codes[:k, :L] = (seqs_fwd & 3).astype(np.uint32)
-    isn[:k, :L] = (seqs_fwd >= 4).astype(np.uint32)
-    isn[k:, :] = 1
-    isn[:, L:] = 1
-    sh2 = (np.arange(16, dtype=np.uint32) * 2)[None, None, :]
-    packed = (codes.reshape(half, Wp, 16) << sh2).sum(axis=2, dtype=np.uint32)
-    sh1 = np.arange(32, dtype=np.uint32)[None, None, :]
-    nmask = (isn.reshape(half, Wn, 32) << sh1).sum(axis=2, dtype=np.uint32)
-    return packed, nmask
-
-
-def unpack_reads(packed: jnp.ndarray, nmask: jnp.ndarray,
-                 lengths: jnp.ndarray, L: int) -> jnp.ndarray:
-    """Device-side inverse of pack_reads_fwd: (R2, L) int8 rows
-    [fwd | revcomp] matching ReadBatch layout (pads = N)."""
-    half = packed.shape[0]
-    sh2 = (jnp.arange(16, dtype=jnp.uint32) * 2)[None, None, :]
-    chars = ((packed[:, :, None] >> sh2) & 3).reshape(half, -1)[:, :L]
-    sh1 = jnp.arange(32, dtype=jnp.uint32)[None, None, :]
-    isn = ((nmask[:, :, None] >> sh1) & 1).reshape(half, -1)[:, :L]
-    j = jnp.arange(L, dtype=jnp.int32)[None, :]
-    fwd = jnp.where((isn == 1) | (j >= lengths[:, None]),
-                    jnp.uint32(4), chars).astype(jnp.int8)
-
-    # rc row: complement(reverse(fwd)) left-rolled by (L - l), pads N
-    flip = fwd[:, ::-1]
-    compf = jnp.where(flip < 4, 3 - flip, flip)
-    shift = (L - lengths).astype(jnp.int32)
-    rolled = compf
-    k = 1
-    while k < L:
-        cand = jnp.concatenate([rolled[:, k:], rolled[:, :k]], axis=1)
-        rolled = jnp.where(((shift // k) % 2)[:, None] == 1, cand, rolled)
-        k *= 2
-    rc = jnp.where(j < lengths[:, None], rolled, jnp.int8(4))
-    return jnp.concatenate([fwd, rc], axis=0)
 
 
 def seed_stop_depth(prefix_q: int) -> int:
