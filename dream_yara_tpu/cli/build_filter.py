@@ -12,9 +12,10 @@ import sys
 import time
 from pathlib import Path
 
-from .common import expand_bin_paths, parse_size
+from .common import cli_guard as __cli_guard,  expand_bin_paths, parse_size
 
 
+@__cli_guard
 def main(argv=None):
     p = argparse.ArgumentParser(
         prog="dream-yara-tpu-build-filter",

@@ -28,3 +28,21 @@ def parse_size(s: str) -> int:
         mult = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30}[s[-1]]
         s = s[:-1]
     return int(float(s) * mult)
+
+
+def cli_guard(main_fn):
+    """Convert common user errors into clean messages + exit 2 (no traceback)."""
+    import functools
+
+    @functools.wraps(main_fn)
+    def wrapper(argv=None):
+        try:
+            return main_fn(argv)
+        except FileNotFoundError as e:
+            sys.exit(f"error: file not found: {e.filename or e}")
+        except (ValueError, KeyError) as e:
+            sys.exit(f"error: {e}")
+        except KeyboardInterrupt:
+            sys.exit(130)
+
+    return wrapper

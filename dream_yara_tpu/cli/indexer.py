@@ -16,7 +16,7 @@ import time
 from concurrent.futures import ProcessPoolExecutor
 from pathlib import Path
 
-from .common import expand_bin_paths
+from .common import cli_guard as __cli_guard,  expand_bin_paths
 
 
 def build_one_bin(args):
@@ -35,6 +35,7 @@ def build_one_bin(args):
     return bin_id, fm.n, time.time() - t0
 
 
+@__cli_guard
 def main(argv=None):
     p = argparse.ArgumentParser(
         prog="dream-yara-tpu-indexer",

@@ -10,10 +10,13 @@ mirrors the reference spellings (SURVEY.md §5.6): -e/--error-rate,
 from __future__ import annotations
 
 import argparse
+
+from .common import cli_guard as __cli_guard
 import sys
 import time
 
 
+@__cli_guard
 def main(argv=None):
     p = argparse.ArgumentParser(
         prog="dream-yara-tpu-mapper",

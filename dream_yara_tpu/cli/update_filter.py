@@ -10,11 +10,14 @@ rebuild the bin's FM-index.
 from __future__ import annotations
 
 import argparse
+
+from .common import cli_guard as __cli_guard
 import sys
 import time
 from pathlib import Path
 
 
+@__cli_guard
 def main(argv=None):
     p = argparse.ArgumentParser(
         prog="dream-yara-tpu-update-filter",
