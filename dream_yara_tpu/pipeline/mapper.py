@@ -118,7 +118,10 @@ class BinMapper:
                 m = self._remap_chunk(m, ids, half, n)
                 parts.append(m)
 
-            if int(out.overflow_total) > 0:
+            if int(out.overflow_total) > 0 and self.opts.sensitivity != "low":
+                # sensitivity low: capacity-capped hits only — overflowing
+                # (hyper-repetitive) locations are dropped, the fastest mode
+                # (reference -y low analog [U])
                 out = out._replace(seed_lo=np.asarray(out.seed_lo),
                                    seed_hi=np.asarray(out.seed_hi),
                                    overflow=np.asarray(out.overflow))

@@ -56,3 +56,12 @@ def test_high_equals_full_on_nonrepetitive(rng):
                                   MapperOptions(error_rate=0.03, sensitivity="high"))
     assert np.array_equal(r_full.c1, r_high.c1)
     assert np.array_equal(r_full.matches.begin, r_high.matches.begin)
+
+
+def test_low_sensitivity_skips_repetitive_pass(rng):
+    """-y low: capacity-capped only; still maps, fastest mode."""
+    store, fm, batch, copies = tandem_case(rng)
+    opts = MapperOptions(error_rate=0.03, sensitivity="low")
+    ranked, cigars, contigs = map_single_bin(store, fm, batch, opts)
+    assert int(ranked.best[0]) == 1          # the dist-1 placements are found
+    assert 1 <= int(ranked.c1[0]) <= copies  # capped subset is acceptable
