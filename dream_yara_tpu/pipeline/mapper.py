@@ -103,7 +103,8 @@ class BinMapper:
                 # ONE fetch for all per-candidate outputs + scalars; the (S,)
                 # seed-interval arrays stay on device unless overflow occurred
                 bundle, s_lo, s_hi, ovf = out
-                out = unbundle_out(np.asarray(bundle), s_lo, s_hi, ovf)
+                out = unbundle_out(np.asarray(bundle), s_lo, s_hi, ovf,
+                                   L, max_err, chunk_rows)
             if int(out.n_spilled) > 0:
                 # compaction spilled: redo this chunk verifying every slot
                 with self.timers.stage("dense re-verify (device)"):
@@ -111,7 +112,8 @@ class BinMapper:
                     bundle, s_lo, s_hi, ovf = single_bin_map_step_packed(
                         self.dev, pk, nk, lk, L=L, verify_capacity=None,
                         **step_kw)
-                    out = unbundle_out(np.asarray(bundle), s_lo, s_hi, ovf)
+                    out = unbundle_out(np.asarray(bundle), s_lo, s_hi, ovf,
+                                   L, max_err, chunk_rows)
             with self.timers.stage("collect matches (host)"):
                 m = build_matches(out.row, out.begin, out.end, out.dist, out.ok,
                                   n_reads=half)
