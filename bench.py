@@ -106,10 +106,10 @@ def main():
     dream_map_sam(index, warm, opts, header=False)
     print(f"[bench] warmup (compile): {time.time() - t0:.1f}s", file=sys.stderr)
 
-    # two timed passes, report the best: the shared tunnel adds up to ~25%
+    # three timed passes, report the best: the shared tunnel adds up to ~25%
     # run-to-run noise (BASELINE.md), and peak throughput is the metric
     best_dt = None
-    for rep in range(2):
+    for rep in range(3):
         timers = StageTimers()
         t0 = time.time()
         n_lines = 0
