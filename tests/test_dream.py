@@ -170,3 +170,37 @@ def test_metagenomic_skew():
     correct = sum(1 for i, (b, p) in enumerate(truth)
                   if recs[f"r{i}"][2] == f"g{b}" and int(recs[f"r{i}"][3]) == p + 1)
     assert correct == len(truth)
+
+
+def test_stream_error_propagates(dream_db):
+    """An exception in the reader thread must surface to the consumer."""
+    rng, genomes, index = dream_db
+    opts = MapperOptions(error_rate=0.03)
+
+    def bad_batches():
+        batch, _ = planted_batch(rng, genomes, n_per_bin=1)
+        yield batch
+        raise RuntimeError("reader exploded")
+
+    from dream_yara_tpu.pipeline.dis_mapper import dream_map_stream
+    got = []
+    with pytest.raises(RuntimeError, match="reader exploded"):
+        for sam in dream_map_stream(index, bad_batches(), opts):
+            got.append(sam)
+    assert len(got) == 1  # the good batch was delivered first
+
+
+def test_stream_multi_batch_order(dream_db):
+    """Streamed batches come back in order with one header."""
+    rng, genomes, index = dream_db
+    opts = MapperOptions(error_rate=0.03)
+    b1, t1 = planted_batch(rng, genomes, n_per_bin=1)
+    b2, t2 = planted_batch(rng, genomes, n_per_bin=1)
+    from dream_yara_tpu.pipeline.dis_mapper import dream_map_stream
+    outs = list(dream_map_stream(index, iter([b1, b2]), opts))
+    assert len(outs) == 2
+    assert outs[0].startswith("@HD")
+    assert not outs[1].startswith("@HD")
+    first_names = [l.split("\t")[0] for l in outs[0].splitlines()
+                   if not l.startswith("@")]
+    assert first_names == b1.names
