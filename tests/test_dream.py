@@ -204,3 +204,29 @@ def test_stream_multi_batch_order(dream_db):
     first_names = [l.split("\t")[0] for l in outs[0].splitlines()
                    if not l.startswith("@")]
     assert first_names == b1.names
+
+
+def test_dream_equals_monolithic(dream_db):
+    """The paper's validation method (SURVEY.md §4): the B-bin DREAM run must
+    produce the identical SAM to a single monolithic index over the
+    concatenated database."""
+    rng, genomes, index = dream_db
+    batch, truth = planted_batch(rng, genomes, n_per_bin=3)
+    opts = MapperOptions(error_rate=0.03)
+
+    # monolithic: one store holding every contig in bin order — the
+    # concatenated text is byte-identical to the DREAM global text
+    names = [n for st in index.stores for n in st.names]
+    seqs = []
+    for b, st in enumerate(index.stores):
+        for c in range(st.n_contigs):
+            o = int(st.offsets[c])
+            seqs.append(st.text[o : o + int(st.lengths[c])])
+    mono_store = SeqStore.from_seqs(names, seqs)
+    assert np.array_equal(mono_store.text, index.global_text)
+    mono_fm = FMIndex.build(mono_store.text)
+    mono = DreamIndex([mono_store], [mono_fm], None, "none")
+
+    sam_dream = dream_map_sam(index, batch, opts)
+    sam_mono = dream_map_sam(mono, batch, opts)
+    assert sam_dream == sam_mono
