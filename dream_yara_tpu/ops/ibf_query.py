@@ -87,18 +87,18 @@ import jax
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("L", "k", "n_hashes", "rate_ppm"))
-def ibf_classify_packed(filter_words, packed, nmask, lengths, *, L: int,
+                   static_argnames=("half", "L", "k", "n_hashes", "rate_ppm"))
+def ibf_classify_packed(filter_words, blob, *, half: int, L: int,
                         k: int, n_hashes: int, rate_ppm: int):
     """Whole-batch classification from packed uploads: unpack fwd+rc rows on
     device, count k-mers per bin, threshold by the k-mer lemma, OR the two
     orientations, and bit-pack the (reads, bins) candidate mask so the
     device->host fetch is one small array (SURVEY.md §3.1 HOT LOOP 1 with
     tunnel-aware I/O)."""
-    from .readpack import unpack_reads
+    from .readpack import unpack_blob, unpack_reads
 
+    packed, nmask, lengths = unpack_blob(blob, half, L)
     reads = unpack_reads(packed, nmask, lengths, L)          # (R2, L)
-    half = lengths.shape[0]
     lengths2 = jnp.concatenate([lengths, lengths])
     counts = ibf_bin_counts(filter_words, reads, lengths2, k, n_hashes)
     e = (lengths2 * jnp.int32(rate_ppm)) // 10_000

@@ -62,3 +62,31 @@ def unpack_reads(packed: jnp.ndarray, nmask: jnp.ndarray,
         k *= 2
     rc = jnp.where(j < lengths[:, None], rolled, jnp.int8(4))
     return jnp.concatenate([fwd, rc], axis=0)
+
+
+def pack_blob(seqs_fwd: np.ndarray, half: int, L: int) -> np.ndarray:
+    """One contiguous uint32 upload: [packed | nmask | lengths-as-uint32].
+
+    Each host->device transfer pays a fixed tunnel cost, so the three packed
+    arrays ship as a single blob; unpack_blob splits it on device.
+    NOTE: lengths must be written by the caller into the returned layout via
+    pack_blob_with_lengths (kept separate so seqs and lengths can come from
+    different sources)."""
+    raise NotImplementedError("use pack_blob_with_lengths")
+
+
+def pack_blob_with_lengths(seqs_fwd: np.ndarray, lengths: np.ndarray,
+                           half: int, L: int) -> np.ndarray:
+    packed, nmask = pack_reads_fwd(seqs_fwd, half, L)
+    return np.concatenate([packed.ravel(), nmask.ravel(),
+                           lengths.astype(np.int32).view(np.uint32)])
+
+
+def unpack_blob(blob: jnp.ndarray, half: int, L: int):
+    """Device-side split of pack_blob_with_lengths output."""
+    Wp = (L + 15) // 16
+    Wn = (L + 31) // 32
+    packed = blob[: half * Wp].reshape(half, Wp)
+    nmask = blob[half * Wp : half * (Wp + Wn)].reshape(half, Wn)
+    lengths = blob[half * (Wp + Wn) :].astype(jnp.int32)
+    return packed, nmask, lengths

@@ -101,7 +101,7 @@ def classify_reads(index: DreamIndex, batch: ReadBatch, opts: MapperOptions,
     words = jnp.asarray(filt.words)
     L = batch.max_len
     from ..ops.ibf_query import ibf_classify_packed
-    from ..ops.readpack import pack_reads_fwd
+    from ..ops.readpack import pack_blob_with_lengths
 
     mask = np.zeros((n, B), dtype=bool)
     shifts = np.arange(32, dtype=np.uint32)
@@ -109,9 +109,9 @@ def classify_reads(index: DreamIndex, batch: ReadBatch, opts: MapperOptions,
         ids = np.arange(c0, min(c0 + IBF_READS, n))
         lens = np.zeros(IBF_READS, dtype=np.int32)
         lens[: len(ids)] = batch.lengths[ids]
-        packed, nmask = pack_reads_fwd(batch.seqs[ids], IBF_READS, L)
+        blob = pack_blob_with_lengths(batch.seqs[ids], lens, IBF_READS, L)
         cw = np.asarray(ibf_classify_packed(
-            words, jnp.asarray(packed), jnp.asarray(nmask), jnp.asarray(lens),
+            words, jnp.asarray(blob), half=IBF_READS,
             L=L, k=filt.k, n_hashes=filt.n_hashes, rate_ppm=rate_ppm))
         bits = ((cw[:, :, None] >> shifts) & 1).astype(bool)
         mask[ids] = bits.reshape(IBF_READS, -1)[: len(ids), :B]

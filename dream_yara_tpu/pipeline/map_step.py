@@ -19,7 +19,8 @@ import numpy as np
 from ..ops.backward_search import gather_hit_rows, gather_hits, seed_search
 from ..ops.device_index import DeviceFM
 from ..ops.verify import banded_verify
-from ..ops.readpack import pack_reads_fwd, unpack_reads
+from ..ops.readpack import (pack_blob_with_lengths, pack_reads_fwd,
+                            unpack_blob, unpack_reads)
 from .seeding import errors_for, make_seeds
 
 
@@ -83,12 +84,11 @@ def single_bin_map_step(fm: DeviceFM, reads: jnp.ndarray, lengths: jnp.ndarray,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("L", "rate_ppm", "max_errors", "capacity",
+    jax.jit, static_argnames=("half", "L", "rate_ppm", "max_errors", "capacity",
                               "max_slen", "verify_capacity", "prefix_q",
                               "use_pallas", "sample_rate"))
-def single_bin_map_step_packed(fm: DeviceFM, packed: jnp.ndarray,
-                               nmask: jnp.ndarray, lengths: jnp.ndarray,
-                               *, L: int, rate_ppm: int, max_errors: int,
+def single_bin_map_step_packed(fm: DeviceFM, blob: jnp.ndarray,
+                               *, half: int, L: int, rate_ppm: int, max_errors: int,
                                capacity: int, max_slen: int,
                                verify_capacity: int | None = None,
                                prefix_q: int = 0,
@@ -102,11 +102,12 @@ def single_bin_map_step_packed(fm: DeviceFM, packed: jnp.ndarray,
     of seven. Unpack with unbundle_out; the seed-interval arrays stay on
     device until an overflow makes them needed.
     """
+    packed, nmask, lengths = unpack_blob(blob, half, L)
     reads = unpack_reads(packed, nmask, lengths, L)
     out = _map_step_core(fm, reads, lengths, rate_ppm, max_errors, capacity,
                          max_slen, verify_capacity, prefix_q, use_pallas,
                          sample_rate)
-    if _meta_packable(L, max_errors, packed.shape[0] * 2):
+    if _meta_packable(L, max_errors, half * 2):
         # bit-pack (row, dist, end-begin, ok) into one int32 next to begin:
         # halves the fetched bytes (the tunnel is bandwidth-bound d2h too)
         delta = jnp.clip(out.end - out.begin, 0, 255)

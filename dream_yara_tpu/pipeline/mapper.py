@@ -78,17 +78,19 @@ class BinMapper:
         # uploads are 2-bit-packed fwd rows (~9x smaller — the tunnel's
         # host->device path is slow); rc rows are rebuilt on device.
         pending = []
+        from ..ops.readpack import pack_blob_with_lengths
+
         for c0 in range(0, n, half):
             ids = np.arange(c0, min(c0 + half, n))
             lens_c = np.zeros(half, dtype=np.int32)
             lens_c[: len(ids)] = batch.lengths[ids]
-            packed, nmask = pack_reads_fwd(batch.seqs[ids], half, L)
-            pk, nk, lk = (jnp.asarray(packed), jnp.asarray(nmask),
-                          jnp.asarray(lens_c))
+            blob = jnp.asarray(pack_blob_with_lengths(
+                batch.seqs[ids], lens_c, half, L))
             with self.timers.stage("seed+search+verify (device)"):
                 out = single_bin_map_step_packed(
-                    self.dev, pk, nk, lk, L=L, verify_capacity=vcap, **step_kw)
-            pending.append((out, ids, (pk, nk, lk), lens_c))
+                    self.dev, blob, half=half, L=L, verify_capacity=vcap,
+                    **step_kw)
+            pending.append((out, ids, blob, lens_c))
 
 
         def full_reads(ids):
@@ -108,9 +110,8 @@ class BinMapper:
             if int(out.n_spilled) > 0:
                 # compaction spilled: redo this chunk verifying every slot
                 with self.timers.stage("dense re-verify (device)"):
-                    pk, nk, lk = dev_in
                     bundle, s_lo, s_hi, ovf = single_bin_map_step_packed(
-                        self.dev, pk, nk, lk, L=L, verify_capacity=None,
+                        self.dev, dev_in, half=half, L=L, verify_capacity=None,
                         **step_kw)
                     out = unbundle_out(np.asarray(bundle), s_lo, s_hi, ovf,
                                    L, max_err, chunk_rows)
