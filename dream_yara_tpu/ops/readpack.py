@@ -64,19 +64,12 @@ def unpack_reads(packed: jnp.ndarray, nmask: jnp.ndarray,
     return jnp.concatenate([fwd, rc], axis=0)
 
 
-def pack_blob(seqs_fwd: np.ndarray, half: int, L: int) -> np.ndarray:
+def pack_blob_with_lengths(seqs_fwd: np.ndarray, lengths: np.ndarray,
+                           half: int, L: int) -> np.ndarray:
     """One contiguous uint32 upload: [packed | nmask | lengths-as-uint32].
 
     Each host->device transfer pays a fixed tunnel cost, so the three packed
-    arrays ship as a single blob; unpack_blob splits it on device.
-    NOTE: lengths must be written by the caller into the returned layout via
-    pack_blob_with_lengths (kept separate so seqs and lengths can come from
-    different sources)."""
-    raise NotImplementedError("use pack_blob_with_lengths")
-
-
-def pack_blob_with_lengths(seqs_fwd: np.ndarray, lengths: np.ndarray,
-                           half: int, L: int) -> np.ndarray:
+    arrays ship as a single blob; unpack_blob splits it on device."""
     packed, nmask = pack_reads_fwd(seqs_fwd, half, L)
     return np.concatenate([packed.ravel(), nmask.ravel(),
                            lengths.astype(np.int32).view(np.uint32)])
