@@ -50,8 +50,17 @@ int64_t dy_format_records(
     char* lim = p + cap;
 
     for (int32_t i = 0; i < n; i++) {
-        int64_t need = (name_off[i + 1] - name_off[i]) + 128 +
-                       (cig_off[i + 1] - cig_off[i]) + 2 * seq_len[i] +
+        // Exact upper bound per record: every variable-length field is
+        // counted at its real size (contig names are untrusted FASTA headers
+        // and can be arbitrarily long); 128 covers the fixed fields (tabs,
+        // 5 integers <= 20 chars with sign, NM tag, '*' placeholders, '\n').
+        int64_t rname_len =
+            rname_idx[i] >= 0 ? cname_off[rname_idx[i] + 1] - cname_off[rname_idx[i]] : 1;
+        int64_t rnext_len =
+            rnext_idx[i] >= 0 ? cname_off[rnext_idx[i] + 1] - cname_off[rnext_idx[i]] : 1;
+        int64_t need = (name_off[i + 1] - name_off[i]) + rname_len + rnext_len +
+                       (cig_off[i + 1] - cig_off[i]) + seq_len[i] +
+                       (qual_off[i + 1] - qual_off[i]) +
                        (extra_off[i + 1] - extra_off[i]) + 128;
         if (p + need > lim) return -1;
 

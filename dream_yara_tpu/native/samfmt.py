@@ -87,8 +87,12 @@ def format_records(names_b, name_off, flag, rname_idx, pos1, mapq,
     has_nm = np.ascontiguousarray(has_nm, dtype=np.uint8)
     nm = np.ascontiguousarray(nm, dtype=np.int32)
     n = len(flag)
-    cap = int(name_off[-1] + cig_off[-1] + 2 * int(seq_len.sum())
-              + extra_off[-1] + 256 * n + 1024)
+    # Mirror the C++ per-record bound: contig names are untrusted FASTA
+    # headers of arbitrary length, so budget the longest one for both RNAME
+    # and RNEXT of every record; QUAL gets its true packed length.
+    max_cname = int(np.max(np.diff(cname_off))) if len(cname_off) > 1 else 1
+    cap = int(name_off[-1] + cig_off[-1] + int(seq_len.sum()) + qual_off[-1]
+              + extra_off[-1] + (2 * max_cname + 256) * n + 1024)
     out = np.empty(cap, dtype=np.uint8)
     seqmat = np.ascontiguousarray(seqmat, dtype=np.uint8)
     total = lib.dy_format_records(

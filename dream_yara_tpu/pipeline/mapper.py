@@ -99,13 +99,19 @@ class BinMapper:
             reads_c[half : half + len(ids)] = batch.seqs[n + ids]
             return reads_c
 
+        import jax
+
         parts: list[Matches] = []
         for out, ids, dev_in, lens_c in pending:
-            with self.timers.stage("collect matches (host)"):
+            bundle, s_lo, s_hi, ovf = out
+            with self.timers.stage("device wait"):
+                jax.block_until_ready(bundle)
+            with self.timers.stage("fetch d2h"):
                 # ONE fetch for all per-candidate outputs + scalars; the (S,)
                 # seed-interval arrays stay on device unless overflow occurred
-                bundle, s_lo, s_hi, ovf = out
-                out = unbundle_out(np.asarray(bundle), s_lo, s_hi, ovf,
+                bundle = np.asarray(bundle)
+            with self.timers.stage("collect matches (host)"):
+                out = unbundle_out(bundle, s_lo, s_hi, ovf,
                                    L, max_err, chunk_rows)
             if int(out.n_spilled) > 0:
                 # compaction spilled: redo this chunk verifying every slot

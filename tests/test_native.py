@@ -160,3 +160,31 @@ def test_native_pe_formatter_matches_python(rng):
             sf.available = orig
         got = write_pe_records(batch, contigs, ranked, cigars, pi, mode)
         assert got == want, mode
+
+
+def test_native_formatter_long_contig_names(rng):
+    """Regression: RNAME/RNEXT bytes must be counted in the output-buffer
+    bound — a >95-char contig name used to overrun the heap buffer."""
+    from dream_yara_tpu.native import samfmt
+    if not samfmt.available():
+        pytest.skip("samfmt unavailable")
+    from dream_yara_tpu.index.fmindex import FMIndex
+    from dream_yara_tpu.io.readstore import ReadBatch
+    from dream_yara_tpu.io.seqstore import SeqStore
+    from dream_yara_tpu.pipeline.mapper import map_single_bin
+    from dream_yara_tpu.pipeline.writer import _write_se_python, write_se_records
+    from dream_yara_tpu.utils.options import MapperOptions
+
+    genome = random_text(rng, 3000)
+    longname = "contig_" + "x" * 700
+    store = SeqStore.from_seqs([longname], [genome])
+    fm = FMIndex.build(store.text)
+    reads = [store.text[p : p + 80].copy()
+             for p in rng.integers(0, 2900, size=8)]
+    batch = ReadBatch.from_reads([f"r{i}" for i in range(8)], reads)
+    ranked, cigars, contigs = map_single_bin(
+        store, fm, batch, MapperOptions(error_rate=0.05))
+    want = _write_se_python(batch, contigs, ranked, cigars, "tag")
+    got = write_se_records(batch, contigs, ranked, cigars, "tag")
+    assert got == want
+    assert any(longname in l for l in got)
