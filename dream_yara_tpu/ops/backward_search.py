@@ -62,7 +62,14 @@ def seed_search(bwt_blocks, occ, counts, n, reads: jnp.ndarray,
 
     With a q-mer prefix table (pfx_lo/pfx_hi, index/fmindex.py), seeds whose
     last q chars are pure ACGT start q steps in via one table gather —
-    replacing 2*q rank gathers per seed (the dominant cost).
+    replacing 2*q rank gathers per seed (the dominant cost). Seeds ineligible
+    for the jump (N in the last q chars) may not finish within the shared trip
+    budget; their interval is then the exact interval of the last
+    `matched_len` chars — a superset whose spurious anchors the banded
+    verifier rejects. The returned m_start reports the true start of the
+    matched part per seed so anchors stay exact either way.
+
+    Returns (lo, hi, m_start): each (S,) int32.
     """
     S = rows.shape[0]
     L = reads.shape[1]
@@ -107,7 +114,10 @@ def seed_search(bwt_blocks, occ, counts, n, reads: jnp.ndarray,
         return jnp.where(upd, nlo, lo), jnp.where(upd, nhi, hi)
 
     lo, hi = jax.lax.fori_loop(0, trips, step, (lo0, hi0))
-    return lo, jnp.maximum(lo, hi)
+    matched = consumed0 + jnp.minimum(
+        jnp.maximum(slens - consumed0, 0), trips)
+    m_start = starts + slens - matched
+    return lo, jnp.maximum(lo, hi), m_start
 
 
 def gather_hit_rows(lo: jnp.ndarray, hi: jnp.ndarray, capacity: int):

@@ -51,12 +51,13 @@ def _map_one_bin(bwt, occ, counts, sa, text, n, bin_start, reads, lengths,
     t_stop = seed_stop_depth(prefix_q)
     slens_eff = jnp.minimum(slens, t_stop)
     starts = starts + (slens - slens_eff)
-    lo, hi = seed_search(bwt, occ, counts, n, reads, rows, starts, slens_eff,
-                         min(max_slen, t_stop), pfx_lo=pfx_lo, pfx_hi=pfx_hi,
-                         prefix_q=prefix_q)
+    lo, hi, m_start = seed_search(bwt, occ, counts, n, reads, rows, starts,
+                                  slens_eff, min(max_slen, t_stop),
+                                  pfx_lo=pfx_lo, pfx_hi=pfx_hi,
+                                  prefix_q=prefix_q)
     pos, hmask, _overflow = gather_hits(sa, lo, hi, capacity)
 
-    anchors = (pos - starts[:, None]).reshape(-1)
+    anchors = (pos - m_start[:, None]).reshape(-1)
     crow = jnp.broadcast_to(rows[:, None], pos.shape).reshape(-1)
     valid = hmask.reshape(-1)
 

@@ -33,6 +33,9 @@ class MapStepOut(NamedTuple):
     seed_lo: jnp.ndarray   # (S,) int32 — SA interval for overflow fallback
     seed_hi: jnp.ndarray   # (S,) int32
     overflow: jnp.ndarray  # (S,) int32 hits beyond capacity per seed
+    m_start: jnp.ndarray   # (S,) int32 true read-index start of the matched
+                           # part (differs from the nominal seed start for
+                           # table-ineligible seeds that hit the trip budget)
     overflow_total: jnp.ndarray  # () int32 — fetch the (S,) arrays only if > 0
     n_spilled: jnp.ndarray     # () int32 candidates dropped by per-row
                                # compaction; > 0 => host re-runs the chunk
@@ -119,14 +122,14 @@ def single_bin_map_step_packed(fm: DeviceFM, blob: jnp.ndarray,
         bundle = jnp.concatenate([
             out.row, out.begin, out.end, out.dist, out.ok.astype(jnp.int32),
             out.overflow_total[None], out.n_spilled[None]])
-    return bundle, out.seed_lo, out.seed_hi, out.overflow
+    return bundle, out.seed_lo, out.seed_hi, out.overflow, out.m_start
 
 
 def _meta_packable(L: int, max_errors: int, R2: int) -> bool:
     return L + 2 * max_errors < 256 and R2 <= (1 << 18) and max_errors <= 31
 
 
-def unbundle_out(bundle: np.ndarray, seed_lo, seed_hi, overflow,
+def unbundle_out(bundle: np.ndarray, seed_lo, seed_hi, overflow, m_start,
                  L: int, max_errors: int, R2: int) -> MapStepOut:
     """Host-side inverse of the packed entry's bundling."""
     if _meta_packable(L, max_errors, R2):
@@ -139,13 +142,13 @@ def unbundle_out(bundle: np.ndarray, seed_lo, seed_hi, overflow,
         ok = (meta >> 31) > 0
         return MapStepOut(row=row, begin=begin, end=end, dist=dist, ok=ok,
                           seed_lo=seed_lo, seed_hi=seed_hi, overflow=overflow,
-                          overflow_total=bundle[2 * cv],
+                          m_start=m_start, overflow_total=bundle[2 * cv],
                           n_spilled=bundle[2 * cv + 1])
     cv = (len(bundle) - 2) // 5
     f = lambda i: bundle[i * cv : (i + 1) * cv]
     return MapStepOut(row=f(0), begin=f(1), end=f(2), dist=f(3),
                       ok=f(4).astype(bool), seed_lo=seed_lo, seed_hi=seed_hi,
-                      overflow=overflow,
+                      overflow=overflow, m_start=m_start,
                       overflow_total=bundle[5 * cv],
                       n_spilled=bundle[5 * cv + 1])
 
@@ -162,12 +165,12 @@ def _map_step_core(fm, reads, lengths, rate_ppm, max_errors, capacity,
     t_stop = seed_stop_depth(prefix_q)
     slens_eff = jnp.minimum(slens, t_stop)
     starts_eff = starts + (slens - slens_eff)
-    lo, hi = seed_search(fm.bwt_blocks, fm.occ, fm.counts, fm.n,
-                         reads, rows, starts_eff, slens_eff,
-                         min(max_slen, t_stop),
-                         pfx_lo=fm.pfx_lo, pfx_hi=fm.pfx_hi,
-                         prefix_q=prefix_q, fused=fm.fused)
-    starts = starts_eff  # anchors below = hit pos - offset of matched part
+    lo, hi, m_start = seed_search(fm.bwt_blocks, fm.occ, fm.counts, fm.n,
+                                  reads, rows, starts_eff, slens_eff,
+                                  min(max_slen, t_stop),
+                                  pfx_lo=fm.pfx_lo, pfx_hi=fm.pfx_hi,
+                                  prefix_q=prefix_q, fused=fm.fused)
+    starts = m_start  # anchors below = hit pos - true start of matched part
     if sample_rate > 1:
         # sampled SA: fetch row ids, then walk LF to marked rows
         from ..ops.locate import locate_sampled_packed
@@ -189,7 +192,7 @@ def _map_step_core(fm, reads, lengths, rate_ppm, max_errors, capacity,
         fm, reads, lengths, vrow, vanch, keep, rate_ppm, max_errors,
         use_pallas=use_pallas)
     return MapStepOut(row=vrow, begin=beg, end=end, dist=dist, ok=ok,
-                      seed_lo=lo, seed_hi=hi, overflow=overflow,
+                      seed_lo=lo, seed_hi=hi, overflow=overflow, m_start=m_start,
                       overflow_total=overflow.sum(dtype=jnp.int32),
                       n_spilled=n_spilled)
 

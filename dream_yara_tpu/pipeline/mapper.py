@@ -103,7 +103,7 @@ class BinMapper:
 
         parts: list[Matches] = []
         for out, ids, dev_in, lens_c in pending:
-            bundle, s_lo, s_hi, ovf = out
+            bundle, s_lo, s_hi, ovf, m_st = out
             with self.timers.stage("device wait"):
                 jax.block_until_ready(bundle)
             with self.timers.stage("fetch d2h"):
@@ -111,16 +111,16 @@ class BinMapper:
                 # seed-interval arrays stay on device unless overflow occurred
                 bundle = np.asarray(bundle)
             with self.timers.stage("collect matches (host)"):
-                out = unbundle_out(bundle, s_lo, s_hi, ovf,
+                out = unbundle_out(bundle, s_lo, s_hi, ovf, m_st,
                                    L, max_err, chunk_rows)
             if int(out.n_spilled) > 0:
                 # compaction spilled: redo this chunk verifying every slot
                 with self.timers.stage("dense re-verify (device)"):
-                    bundle, s_lo, s_hi, ovf = single_bin_map_step_packed(
+                    bundle, s_lo, s_hi, ovf, m_st = single_bin_map_step_packed(
                         self.dev, dev_in, half=half, L=L, verify_capacity=None,
                         **step_kw)
                     out = unbundle_out(np.asarray(bundle), s_lo, s_hi, ovf,
-                                   L, max_err, chunk_rows)
+                                   m_st, L, max_err, chunk_rows)
             with self.timers.stage("collect matches (host)"):
                 m = build_matches(out.row, out.begin, out.end, out.dist, out.ok,
                                   n_reads=half)
@@ -133,7 +133,8 @@ class BinMapper:
                 # (reference -y low analog [U])
                 out = out._replace(seed_lo=np.asarray(out.seed_lo),
                                    seed_hi=np.asarray(out.seed_hi),
-                                   overflow=np.asarray(out.overflow))
+                                   overflow=np.asarray(out.overflow),
+                                   m_start=np.asarray(out.m_start))
                 reads_c = full_reads(ids)
                 if self.opts.sensitivity == "full":
                     # complete: expand every spilled SA interval on host
@@ -195,26 +196,19 @@ class BinMapper:
     def _overflow_pass(self, out: MapStepOut, reads_c, lens_c, ids, half, n,
                        max_err, rate_ppm) -> Matches:
         """Verify seed hits beyond device capacity (host expansion, device verify)."""
-        from .map_step import seed_stop_depth
-
         over_seeds = np.flatnonzero(out.overflow > 0)
         rows_l, anchors_l = [], []
         ns = max_err + 1
         sa = self.fm.sa
-        t_stop = seed_stop_depth(
-            self.fm.prefix_q if self.dev.pfx_lo is not None else 0)
         cap = out.seed_hi - out.seed_lo - out.overflow  # == device capacity where overflowed
         for s in over_seeds:
             lo, hi = int(out.seed_lo[s]) + int(cap[s]), int(out.seed_hi[s])
             row = s // ns
-            sidx = s % ns
             l = int(lens_c[row % half]) if row % half < len(ids) else 0
             if l == 0:
                 continue
-            e = (l * rate_ppm) // 10_000
-            slen = l // (e + 1)
-            # matched part = the seed's last min(slen, t_stop) chars
-            start = sidx * slen + (slen - min(slen, t_stop))
+            # true start of the matched part, as reported by the device search
+            start = int(out.m_start[s])
             if self.fm.sample_rate > 1:
                 pos = np.array([self.fm.locate(r) for r in range(lo, hi)],
                                dtype=np.int64)
@@ -296,7 +290,10 @@ def rescue_mates(mapper: BinMapper, batch: ReadBatch, ranked: Ranked,
     lens_j = jnp.asarray(batch.lengths)
     for b0 in range(0, len(cands.rows), FALLBACK_PAD):
         rb = cands.rows[b0 : b0 + FALLBACK_PAD]
-        ab = cands.anchors[b0 : b0 + FALLBACK_PAD]
+        # single-bin path: global == bin-local coords, safe to narrow (the FM
+        # index itself is int32); multi-bin callers subtract the bin start
+        # from the int64 global anchors first (_rescue_global)
+        ab = cands.anchors[b0 : b0 + FALLBACK_PAD].astype(np.int32)
         padn = FALLBACK_PAD - len(rb)
         mask = np.concatenate([np.ones(len(rb), bool), np.zeros(padn, bool)])
         rb = np.concatenate([rb, np.zeros(padn, np.int32)])
