@@ -93,7 +93,15 @@ def seed_search(bwt_blocks, occ, counts, n, reads: jnp.ndarray,
         lo0 = jnp.where(ok_tab, t_lo, lo0)
         hi0 = jnp.where(ok_tab, t_hi, hi0)
         consumed0 = jnp.where(ok_tab, q, 0)
-        trips = max(max_seed_len - q, min(q, max_seed_len))
+        # adaptive trip count: table-eligible seeds only need
+        # max_seed_len - q more steps. Seeds that cannot jump (N in the
+        # last q chars, or shorter than q) need up to max_seed_len — but
+        # they are rare, so that extension runs under a lax.cond only when
+        # such a seed exists in the batch (each trip is 2S rank gathers,
+        # the dominant search cost).
+        trips = max(max_seed_len - q, 1)
+        extra_trips = max_seed_len - trips
+        need_extra = jnp.any((slens > 0) & ~ok_tab & (slens > trips))
 
     def step(t, carry):
         lo, hi = carry
@@ -114,8 +122,15 @@ def seed_search(bwt_blocks, occ, counts, n, reads: jnp.ndarray,
         return jnp.where(upd, nlo, lo), jnp.where(upd, nhi, hi)
 
     lo, hi = jax.lax.fori_loop(0, trips, step, (lo0, hi0))
+    trips_taken = jnp.int32(trips)
+    if pfx_lo is not None and prefix_q > 0 and extra_trips > 0:
+        lo, hi = jax.lax.cond(
+            need_extra,
+            lambda c: jax.lax.fori_loop(trips, trips + extra_trips, step, c),
+            lambda c: c, (lo, hi))
+        trips_taken = jnp.where(need_extra, trips + extra_trips, trips)
     matched = consumed0 + jnp.minimum(
-        jnp.maximum(slens - consumed0, 0), trips)
+        jnp.maximum(slens - consumed0, 0), trips_taken)
     m_start = starts + slens - matched
     return lo, jnp.maximum(lo, hi), m_start
 

@@ -72,28 +72,30 @@ def seed_stop_depth(prefix_q: int) -> int:
 
 @functools.partial(
     jax.jit, static_argnames=("rate_ppm", "max_errors", "capacity", "max_slen",
-                              "verify_capacity", "prefix_q", "use_pallas",
-                              "sample_rate"))
+                              "verify_capacity", "compact_cap", "prefix_q",
+                              "use_pallas", "sample_rate"))
 def single_bin_map_step(fm: DeviceFM, reads: jnp.ndarray, lengths: jnp.ndarray,
                         *, rate_ppm: int, max_errors: int, capacity: int,
                         max_slen: int,
                         verify_capacity: int | None = None,
+                        compact_cap: int | None = None,
                         prefix_q: int = 0,
                         use_pallas: bool = False,
                         sample_rate: int = 1) -> MapStepOut:
     return _map_step_core(fm, reads, lengths, rate_ppm, max_errors, capacity,
-                          max_slen, verify_capacity, prefix_q, use_pallas,
-                          sample_rate)
+                          max_slen, verify_capacity, compact_cap, prefix_q,
+                          use_pallas, sample_rate)
 
 
 @functools.partial(
     jax.jit, static_argnames=("half", "L", "rate_ppm", "max_errors", "capacity",
-                              "max_slen", "verify_capacity", "prefix_q",
-                              "use_pallas", "sample_rate"))
+                              "max_slen", "verify_capacity", "compact_cap",
+                              "prefix_q", "use_pallas", "sample_rate"))
 def single_bin_map_step_packed(fm: DeviceFM, blob: jnp.ndarray,
                                *, half: int, L: int, rate_ppm: int, max_errors: int,
                                capacity: int, max_slen: int,
                                verify_capacity: int | None = None,
+                               compact_cap: int | None = None,
                                prefix_q: int = 0,
                                use_pallas: bool = False,
                                sample_rate: int = 1) -> MapStepOut:
@@ -108,8 +110,8 @@ def single_bin_map_step_packed(fm: DeviceFM, blob: jnp.ndarray,
     packed, nmask, lengths = unpack_blob(blob, half, L)
     reads = unpack_reads(packed, nmask, lengths, L)
     out = _map_step_core(fm, reads, lengths, rate_ppm, max_errors, capacity,
-                         max_slen, verify_capacity, prefix_q, use_pallas,
-                         sample_rate)
+                         max_slen, verify_capacity, compact_cap, prefix_q,
+                         use_pallas, sample_rate)
     if _meta_packable(L, max_errors, half * 2):
         # bit-pack (row, dist, end-begin, ok) into one int32 next to begin:
         # halves the fetched bytes (the tunnel is bandwidth-bound d2h too)
@@ -154,8 +156,8 @@ def unbundle_out(bundle: np.ndarray, seed_lo, seed_hi, overflow, m_start,
 
 
 def _map_step_core(fm, reads, lengths, rate_ppm, max_errors, capacity,
-                   max_slen, verify_capacity, prefix_q, use_pallas,
-                   sample_rate) -> MapStepOut:
+                   max_slen, verify_capacity, compact_cap, prefix_q,
+                   use_pallas, sample_rate) -> MapStepOut:
     R2, L = reads.shape
     n_reads = lengths.shape[0]
 
@@ -187,7 +189,13 @@ def _map_step_core(fm, reads, lengths, rate_ppm, max_errors, capacity,
     A = (pos - starts[:, None]).reshape(R2, ns * capacity)
     V = hmask.reshape(R2, ns * capacity)
     row_ids = jnp.arange(R2, dtype=jnp.int32)
-    vrow, vanch, keep, n_spilled = dedup_compact(A, V, row_ids, verify_capacity)
+    if compact_cap is not None:
+        keep2 = pairwise_dedup(A, V)
+        vrow, vanch, keep, n_spilled = global_compact(A, keep2, row_ids,
+                                                      compact_cap)
+    else:
+        vrow, vanch, keep, n_spilled = dedup_compact(A, V, row_ids,
+                                                     verify_capacity)
     dist, beg, end, ok = verify_candidates(
         fm, reads, lengths, vrow, vanch, keep, rate_ppm, max_errors,
         use_pallas=use_pallas)
@@ -195,6 +203,57 @@ def _map_step_core(fm, reads, lengths, rate_ppm, max_errors, capacity,
                       seed_lo=lo, seed_hi=hi, overflow=overflow, m_start=m_start,
                       overflow_total=overflow.sum(dtype=jnp.int32),
                       n_spilled=n_spilled)
+
+
+def pairwise_dedup(A, V):
+    """keep mask after removing duplicate anchors WITHIN each row — SORT-FREE
+    (XLA sorts are pathological on this TPU; slots is small, so an
+    O(slots^2) pairwise compare on the minor axis is pure VPU work)."""
+    R, slots = A.shape
+    # dup[r, j] = exists k < j with V[r, k] and A[r, k] == A[r, j]
+    PAIR_BLOCK = 64
+    if slots <= PAIR_BLOCK:
+        earlier = jnp.tril(jnp.ones((slots, slots), bool), k=-1)
+        eq = A[:, :, None] == A[:, None, :]
+        dup = (eq & V[:, None, :] & earlier[None, :, :]).any(axis=2)
+    else:
+        # chunk the j axis to bound the pairwise tensor
+        dups = []
+        for j0 in range(0, slots, PAIR_BLOCK):
+            j1 = min(j0 + PAIR_BLOCK, slots)
+            eq = A[:, j0:j1, None] == A[:, None, :]          # (R, jb, slots)
+            kle = (jnp.arange(slots)[None, None, :]
+                   < (j0 + jnp.arange(j1 - j0))[None, :, None])
+            dups.append((eq & V[:, None, :] & kle).any(axis=2))
+        dup = jnp.concatenate(dups, axis=1)
+    return V & ~dup
+
+
+def global_compact(A, V, row_ids, cap2: int):
+    """Cross-row compaction of kept lanes into one fixed global budget.
+
+    Unlike dedup_compact's per-row selection, the budget is shared over the
+    whole chunk: a repetitive read may use many verify lanes while clean
+    reads use one, so the common case fits cap2 ~= 1 lane/seq-row. The
+    compaction is a cumsum (position of each kept lane) + scatter — no sort.
+    Lanes beyond cap2 are counted in n_spilled (host re-runs densely,
+    completeness never lost).
+
+    A, V: (R, slots); row_ids: (R,). Returns (vrow, vanch, keep2, n_spilled)
+    with (cap2,) shapes.
+    """
+    R, slots = A.shape
+    keep = V.reshape(-1)
+    rowv = jnp.repeat(row_ids, slots)
+    anch = jnp.where(V, A, 0).reshape(-1)
+    pos = jnp.cumsum(keep.astype(jnp.int32)) - 1
+    total = jnp.where(keep.shape[0] > 0, pos[-1] + 1, 0)
+    dst = jnp.where(keep & (pos < cap2), pos, cap2)     # spills -> dump slot
+    vrow = jnp.zeros(cap2 + 1, jnp.int32).at[dst].set(jnp.where(keep, rowv, 0))
+    vanch = jnp.zeros(cap2 + 1, jnp.int32).at[dst].set(anch)
+    keep2 = jnp.arange(cap2, dtype=jnp.int32) < jnp.minimum(total, cap2)
+    n_spilled = jnp.maximum(total - cap2, 0)
+    return vrow[:cap2], vanch[:cap2], keep2, n_spilled
 
 
 def dedup_compact(A, V, row_ids, verify_capacity: int | None):
@@ -212,24 +271,7 @@ def dedup_compact(A, V, row_ids, verify_capacity: int | None):
     Returns (vrow, vanch, keep) flattened (R*kv,) + n_spilled scalar.
     """
     R, slots = A.shape
-
-    # dup[r, j] = exists k < j with V[r, k] and A[r, k] == A[r, j]
-    PAIR_BLOCK = 64
-    if slots <= PAIR_BLOCK:
-        earlier = jnp.tril(jnp.ones((slots, slots), bool), k=-1)
-        eq = A[:, :, None] == A[:, None, :]
-        dup = (eq & V[:, None, :] & earlier[None, :, :]).any(axis=2)
-    else:
-        # chunk the j axis to bound the pairwise tensor
-        dups = []
-        for j0 in range(0, slots, PAIR_BLOCK):
-            j1 = min(j0 + PAIR_BLOCK, slots)
-            eq = A[:, j0:j1, None] == A[:, None, :]          # (R, jb, slots)
-            kle = (jnp.arange(slots)[None, None, :]
-                   < (j0 + jnp.arange(j1 - j0))[None, :, None])
-            dups.append((eq & V[:, None, :] & kle).any(axis=2))
-        dup = jnp.concatenate(dups, axis=1)
-    keep2 = V & ~dup
+    keep2 = pairwise_dedup(A, V)
     kept_before = keep2.sum(dtype=jnp.int32)
 
     if verify_capacity is not None and verify_capacity < slots:

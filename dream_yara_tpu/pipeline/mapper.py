@@ -63,7 +63,11 @@ class BinMapper:
                 chunk_rows = cs
                 break
         half = chunk_rows // 2
-        vcap = 4  # per-ROW verify lanes (vs ns*capacity dense slots per row)
+        # global verify budget: kept candidates from the whole chunk are
+        # compacted into one buffer of ~1 lane per seq row (clean reads use
+        # ~0.5, repetitive ones many) — 4x fewer verify lanes AND 4x fewer
+        # fetched bytes than the per-row scheme; spills re-run densely
+        compact_cap = chunk_rows
 
         from .map_step import (pack_reads_fwd, single_bin_map_step_packed,
                                unbundle_out)
@@ -88,7 +92,7 @@ class BinMapper:
                 batch.seqs[ids], lens_c, half, L))
             with self.timers.stage("seed+search+verify (device)"):
                 out = single_bin_map_step_packed(
-                    self.dev, blob, half=half, L=L, verify_capacity=vcap,
+                    self.dev, blob, half=half, L=L, compact_cap=compact_cap,
                     **step_kw)
             pending.append((out, ids, blob, lens_c))
 

@@ -69,7 +69,7 @@ def main():
     @jax.jit
     def p_search(fmd, blob):
         reads, lengths, rows, starts, slens = stage_prep(fmd, blob)
-        lo, hi = seed_search(fmd.bwt_blocks, fmd.occ, fmd.counts, fmd.n,
+        lo, hi, m_start = seed_search(fmd.bwt_blocks, fmd.occ, fmd.counts, fmd.n,
                              reads, rows, starts, slens, min(max_slen, t_stop),
                              pfx_lo=fmd.pfx_lo, pfx_hi=fmd.pfx_hi,
                              prefix_q=prefix_q, fused=fmd.fused)
@@ -78,7 +78,7 @@ def main():
     @jax.jit
     def p_locate(fmd, blob):
         reads, lengths, rows, starts, slens = stage_prep(fmd, blob)
-        lo, hi = seed_search(fmd.bwt_blocks, fmd.occ, fmd.counts, fmd.n,
+        lo, hi, m_start = seed_search(fmd.bwt_blocks, fmd.occ, fmd.counts, fmd.n,
                              reads, rows, starts, slens, min(max_slen, t_stop),
                              pfx_lo=fmd.pfx_lo, pfx_hi=fmd.pfx_hi,
                              prefix_q=prefix_q, fused=fmd.fused)
@@ -88,7 +88,7 @@ def main():
     @jax.jit
     def p_dedup(fmd, blob):
         reads, lengths, rows, starts, slens = stage_prep(fmd, blob)
-        lo, hi = seed_search(fmd.bwt_blocks, fmd.occ, fmd.counts, fmd.n,
+        lo, hi, m_start = seed_search(fmd.bwt_blocks, fmd.occ, fmd.counts, fmd.n,
                              reads, rows, starts, slens, min(max_slen, t_stop),
                              pfx_lo=fmd.pfx_lo, pfx_hi=fmd.pfx_hi,
                              prefix_q=prefix_q, fused=fmd.fused)
@@ -101,9 +101,10 @@ def main():
         return vrow.sum(), vanch.sum(), keep.sum()
 
     @jax.jit
-    def p_full(fmd, blob):
+    def p_compact(fmd, blob):
+        from dream_yara_tpu.pipeline.map_step import global_compact, pairwise_dedup
         reads, lengths, rows, starts, slens = stage_prep(fmd, blob)
-        lo, hi = seed_search(fmd.bwt_blocks, fmd.occ, fmd.counts, fmd.n,
+        lo, hi, m_start = seed_search(fmd.bwt_blocks, fmd.occ, fmd.counts, fmd.n,
                              reads, rows, starts, slens, min(max_slen, t_stop),
                              pfx_lo=fmd.pfx_lo, pfx_hi=fmd.pfx_hi,
                              prefix_q=prefix_q, fused=fmd.fused)
@@ -112,22 +113,47 @@ def main():
         A = (pos - starts[:, None]).reshape(R2, ns * capacity)
         V = hmask.reshape(R2, ns * capacity)
         row_ids = jnp.arange(R2, dtype=jnp.int32)
-        vrow, vanch, keep, n_spilled = dedup_compact(A, V, row_ids, vcap)
+        keep2 = pairwise_dedup(A, V)
+        vrow, vanch, kk, n_sp = global_compact(A, keep2, row_ids, R2)
+        return vrow.sum(), vanch.sum(), kk.sum()
+
+    @jax.jit
+    def p_full(fmd, blob):
+        reads, lengths, rows, starts, slens = stage_prep(fmd, blob)
+        lo, hi, m_start = seed_search(fmd.bwt_blocks, fmd.occ, fmd.counts, fmd.n,
+                             reads, rows, starts, slens, min(max_slen, t_stop),
+                             pfx_lo=fmd.pfx_lo, pfx_hi=fmd.pfx_hi,
+                             prefix_q=prefix_q, fused=fmd.fused)
+        pos, hmask, ovf = gather_hits(fmd.sa, lo, hi, capacity)
+        ns = max_err + 1
+        A = (pos - starts[:, None]).reshape(R2, ns * capacity)
+        V = hmask.reshape(R2, ns * capacity)
+        row_ids = jnp.arange(R2, dtype=jnp.int32)
+        from dream_yara_tpu.pipeline.map_step import global_compact, pairwise_dedup
+        keep2 = pairwise_dedup(A, V)
+        vrow, vanch, keep, n_spilled = global_compact(A, keep2, row_ids, R2)
         dist, beg, end, ok = verify_candidates(
             dev, reads, lengths, vrow, vanch, keep, rate_ppm, max_err,
             use_pallas=use_pallas)
         return dist.sum(), beg.sum(), ok.sum()
 
+    def _sync(out):
+        # block_until_ready does not reliably block through the axon tunnel;
+        # fetching one element of every output does
+        for leaf in jax.tree_util.tree_leaves(out):
+            np.asarray(leaf.ravel()[:1] if getattr(leaf, "ndim", 0) else leaf)
+
     stages = [("unpack+seeds", p_unpack), ("+search", p_search),
-              ("+locate", p_locate), ("+dedup", p_dedup), ("+verify", p_full)]
+              ("+locate", p_locate), ("+dedup", p_dedup),
+              ("+compact", p_compact), ("+verify", p_full)]
     for name, f in stages:
         t0 = time.time()
-        out = jax.block_until_ready(f(dev, blob))
+        _sync(f(dev, blob))
         compile_t = time.time() - t0
         ts = []
         for _ in range(3):
             t0 = time.time()
-            jax.block_until_ready(f(dev, blob))
+            _sync(f(dev, blob))
             ts.append(time.time() - t0)
         print(f"{name:14s} compile {compile_t:7.1f}s   run {min(ts)*1e3:8.1f}ms"
               f" (all {[f'{t*1e3:.0f}' for t in ts]})")
@@ -135,7 +161,7 @@ def main():
     # and the production step incl. bundle + fetch
     from dream_yara_tpu.pipeline.map_step import single_bin_map_step_packed
     kw = dict(rate_ppm=rate_ppm, max_errors=max_err, capacity=capacity,
-              max_slen=max_slen, verify_capacity=vcap, prefix_q=prefix_q,
+              max_slen=max_slen, compact_cap=R2, prefix_q=prefix_q,
               use_pallas=use_pallas, sample_rate=fm.sample_rate)
     out = single_bin_map_step_packed(dev, blob, half=half, L=L, **kw)
     jax.block_until_ready(out[0])

@@ -12,13 +12,22 @@ import numpy as np
 sys.path.insert(0, str(Path(__file__).parent.parent))
 
 
-def timeit(f, *args, n=3):
+def _sync(out):
+    """block_until_ready does not reliably block through the axon tunnel;
+    fetching one element of every output does."""
     import jax
-    out = jax.block_until_ready(f(*args))  # compile
+    import numpy as np
+    for leaf in jax.tree_util.tree_leaves(out):
+        np.asarray(leaf.ravel()[:1] if getattr(leaf, "ndim", 0) else leaf)
+
+
+def timeit(f, *args, n=3):
+    out = f(*args)
+    _sync(out)  # compile
     ts = []
     for _ in range(n):
         t0 = time.time()
-        jax.block_until_ready(f(*args))
+        _sync(f(*args))
         ts.append(time.time() - t0)
     return min(ts), out
 
