@@ -77,11 +77,15 @@ class DeviceFMSet(NamedTuple):
     bwt_blocks: jnp.ndarray  # (B, max_blocks, 128) int8
     occ: jnp.ndarray         # (B, max_blocks + 1, SIGMA) int32
     counts: jnp.ndarray      # (B, SIGMA + 1) int32
-    sa: jnp.ndarray          # (B, max_n) int32
+    sa: jnp.ndarray          # (B, max_n) int32 (full or sampled values)
     text: jnp.ndarray        # (B, max_n) int8
     n: jnp.ndarray           # (B,) int32
     pfx_lo: jnp.ndarray | None = None  # (B, 4^q) int32, common q (prefix_q)
     pfx_hi: jnp.ndarray | None = None
+    fused: jnp.ndarray | None = None   # (B, max_blocks+1, 24) int32 fused rank rows
+    # sampled-SA mode (uniform sample_rate over all bins, else full SA)
+    sa_mark_bits: jnp.ndarray | None = None  # (B, nw) uint32
+    sa_rank_ck: jnp.ndarray | None = None    # (B, nck+1) int32
 
     @property
     def n_bins(self) -> int:
@@ -90,6 +94,8 @@ class DeviceFMSet(NamedTuple):
     @classmethod
     def from_host(cls, fms: list[FMIndex], texts: list[np.ndarray],
                   pad_bins_to: int | None = None) -> "DeviceFMSet":
+        from .rank import build_fused_rank_rows
+
         B = len(fms)
         max_n = max(fm.n for fm in fms)
         max_blocks = (max_n + BLOCK - 1) // BLOCK
@@ -98,9 +104,17 @@ class DeviceFMSet(NamedTuple):
         bwt = np.full((Bp, max_blocks, BLOCK), BWT_PAD, dtype=np.int8)
         occ = np.zeros((Bp, max_blocks + 1, fms[0].occ.shape[1]), dtype=np.int32)
         counts = np.zeros((Bp, fms[0].counts.shape[0]), dtype=np.int32)
-        sa = np.zeros((Bp, max_n), dtype=np.int32)
-        text = np.full((Bp, max_n), BWT_PAD, dtype=np.int8)
         n = np.zeros(Bp, dtype=np.int32)
+        text = np.full((Bp, max_n), BWT_PAD, dtype=np.int8)
+
+        # sampled mode only when every bin shares one rate (mixed-rate DBs
+        # fall back to the full-SA layout built by the indexer)
+        rates = {fm.sample_rate for fm in fms}
+        rate = rates.pop() if len(rates) == 1 else 1
+        sampled = rate > 1
+        max_sa = (max(len(fm.sa) for fm in fms) if sampled else max_n)
+        sa = np.zeros((Bp, max_sa), dtype=np.int32)
+        mark_bits = rank_ck = None
 
         # common prefix-table depth: the smallest q over bins (rebuild where
         # a bin was built at a different q); 0 disables the table
@@ -111,26 +125,44 @@ class DeviceFMSet(NamedTuple):
             pfx_lo = np.zeros((Bp, 4 ** q), dtype=np.int32)
             pfx_hi = np.zeros((Bp, 4 ** q), dtype=np.int32)
 
+        fused_rows = np.zeros((Bp, max_blocks + 1, 24), dtype=np.int32)
         for b, (fm, t) in enumerate(zip(fms, texts)):
             nb = fm.bwt_blocks.shape[0]
             bwt[b, :nb] = fm.bwt_blocks
             occ[b, : nb + 1] = fm.occ
             occ[b, nb + 1 :] = fm.occ[-1]  # rank is constant past the text end
             counts[b] = fm.counts
-            sa[b, : fm.n] = fm.sa
+            sa[b, : len(fm.sa)] = fm.sa
             text[b, : fm.n] = t
             n[b] = fm.n
+            fb = build_fused_rank_rows(fm.bwt_blocks, fm.occ)
+            fused_rows[b, : fb.shape[0]] = fb
+            fused_rows[b, fb.shape[0] :] = fb[-1]
             if q > 0:
                 if fm.prefix_q != q:
                     fm.build_prefix_table(t, q)
                 pfx_lo[b] = fm.pfx_lo
                 pfx_hi[b] = fm.pfx_hi
 
+        if sampled:
+            devs = [DeviceFM.from_host(fm, t) for fm, t in zip(fms, texts)]
+            nw = max(d.sa_mark_bits.shape[0] for d in devs)
+            nck = max(d.sa_rank_ck.shape[0] for d in devs)
+            mark_bits = np.zeros((Bp, nw), dtype=np.uint32)
+            rank_ck = np.zeros((Bp, nck), dtype=np.int32)
+            for b, d in enumerate(devs):
+                mark_bits[b, : d.sa_mark_bits.shape[0]] = d.sa_mark_bits
+                rank_ck[b, : d.sa_rank_ck.shape[0]] = d.sa_rank_ck
+                rank_ck[b, d.sa_rank_ck.shape[0] :] = d.sa_rank_ck[-1]
+
         return cls(bwt_blocks=jnp.asarray(bwt), occ=jnp.asarray(occ),
                    counts=jnp.asarray(counts), sa=jnp.asarray(sa),
                    text=jnp.asarray(text), n=jnp.asarray(n),
                    pfx_lo=None if pfx_lo is None else jnp.asarray(pfx_lo),
-                   pfx_hi=None if pfx_hi is None else jnp.asarray(pfx_hi))
+                   pfx_hi=None if pfx_hi is None else jnp.asarray(pfx_hi),
+                   fused=jnp.asarray(fused_rows),
+                   sa_mark_bits=None if mark_bits is None else jnp.asarray(mark_bits),
+                   sa_rank_ck=None if rank_ck is None else jnp.asarray(rank_ck))
 
     @property
     def prefix_q(self) -> int:
@@ -143,8 +175,10 @@ class DeviceFMSet(NamedTuple):
         return q
 
     def bin(self, b: int) -> DeviceFM:
+        g = lambda f: None if getattr(self, f) is None else getattr(self, f)[b]
         return DeviceFM(bwt_blocks=self.bwt_blocks[b], occ=self.occ[b],
                         counts=self.counts[b], sa=self.sa[b],
                         text=self.text[b], n=self.n[b],
-                        pfx_lo=None if self.pfx_lo is None else self.pfx_lo[b],
-                        pfx_hi=None if self.pfx_hi is None else self.pfx_hi[b])
+                        pfx_lo=g("pfx_lo"), pfx_hi=g("pfx_hi"),
+                        sa_mark_bits=g("sa_mark_bits"),
+                        sa_rank_ck=g("sa_rank_ck"), fused=g("fused"))

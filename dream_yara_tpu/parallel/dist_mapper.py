@@ -1,165 +1,220 @@
-"""Mesh-sharded DREAM mapping step.
+"""Mesh-sharded DREAM mapping step: classify -> route -> map, one XLA program.
 
 TPU-native replacement for the reference's process-level distribution
-(SURVEY.md §2.10: the reference farms bins out at the file level and merges
-SAM offline; here the bin axis is a first-class mesh axis). Device (i, j) of
-the (data, bin) mesh maps read-shard i against bin-shard j — the mesh itself
-realizes the read x bin cross product, so no all-to-all routing is needed for
-the dense path; the IBF mask is applied as lane masking inside each shard
-(capacity-compacted routing is a later optimization, SURVEY.md §7 step 7).
+(SURVEY.md §2.10, §5.8: the reference farms bins out at the file level and
+merges SAM offline; here the bin axis is a first-class mesh axis). Device
+(i, j) of the (data, bin) mesh holds read-shard i and bin-shard j:
 
-Outputs are fixed-shape match buffers sharded over both axes; the host
-gathers them and applies the canonical deterministic sort (pipeline/matches),
-so SAM output is byte-identical for ANY mesh shape (SURVEY.md §4.4).
+  1. classify: the replicated IBF is queried for shard i's reads (identical
+     bit-for-bit to the single-chip classifier, ops/ibf_query.py); the
+     (reads, bins) candidate mask is computed once per data shard.
+  2. route: for each LOCAL bin, the reads routed to it are compacted
+     (cumsum + scatter, no sort) into a fixed R_cap-slot buffer — the
+     MoE-style capacity routing that realizes the IBF saving on device,
+     instead of mapping every read against every bin with lane masking.
+     Reads beyond R_cap are counted (route_overflow) and re-mapped on host.
+  3. map: each local bin runs the SAME _map_step_core as the single-chip
+     path (fused rank rows, q-mer prefix table, sampled SA, Pallas verify,
+     global verify-lane compaction) under a lax.scan over local bins.
+
+Every fixed-capacity truncation is COUNTED and surfaced (route_overflow,
+seed overflow_total, verify n_spilled); the host driver re-maps affected
+(bin, reads) subsets through the exact single-chip BinMapper, so the merged
+match set is byte-identical to the single-device DREAM pipeline for any mesh
+shape — fixed capacities never silently drop matches
+(docs/OUTPUT_CONTRACT.md).
+
+Outputs stay BIN-LOCAL int32 coordinates; the host applies the int64 global
+bin offset (databases can exceed 2^31 bp in aggregate).
 """
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..ops.backward_search import gather_hits, seed_search
-from ..ops.device_index import DeviceFMSet
-from ..ops.verify import banded_verify
-from ..pipeline.seeding import errors_for, make_seeds
+from ..ops.device_index import DeviceFM, DeviceFMSet
+from ..ops.ibf_query import ibf_bin_counts
+from ..ops.readpack import pack_blob_with_lengths, unpack_blob, unpack_reads
 
 
-class DistMapOut(NamedTuple):
-    read_id: jnp.ndarray  # (B, C) int32 GLOBAL read id
-    strand: jnp.ndarray   # (B, C) int8
-    begin: jnp.ndarray    # (B, C) int32 GLOBAL coords (bin offset applied)
-    end: jnp.ndarray      # (B, C) int32
-    dist: jnp.ndarray     # (B, C) int32
-    ok: jnp.ndarray       # (B, C) bool
+class MeshMapOut(NamedTuple):
+    """Stacked per-bin outputs; leading axis is the global bin axis."""
+
+    begin: jnp.ndarray        # (B, D*cap2v) int32 BIN-LOCAL begin
+    end: jnp.ndarray          # (B, D*cap2v) int32 BIN-LOCAL end
+    meta: jnp.ndarray         # (B, D*cap2v) int32: subrow | dist<<18 | ok<<31
+    overflow_total: jnp.ndarray  # (B, D) int32 seed-hit overflow per bin/shard
+    n_spilled: jnp.ndarray    # (B, D) int32 verify-lane spills per bin/shard
+    route_overflow: jnp.ndarray  # (B, D) int32 reads beyond R_cap per bin/shard
+    route_words: jnp.ndarray  # (n_pad, ceil(Bp/32)) uint32 routing bits
 
 
-def _map_one_bin(bwt, occ, counts, sa, text, n, bin_start, reads, lengths,
-                 bin_active, pfx_lo, pfx_hi, *, rate_ppm, max_errors, capacity,
-                 max_slen, prefix_q):
-    """Local single-bin map (same stages as pipeline/map_step, shard-local)."""
-    R2, L = reads.shape
-    n_loc = lengths.shape[0]
-
-    rows, starts, slens = make_seeds(lengths, R2, rate_ppm, max_errors)
-    slens = jnp.where(bin_active, slens, 0)  # IBF says this bin is irrelevant
-    # truncated search (see pipeline.map_step.seed_stop_depth)
-    from ..pipeline.map_step import seed_stop_depth
-
-    t_stop = seed_stop_depth(prefix_q)
-    slens_eff = jnp.minimum(slens, t_stop)
-    starts = starts + (slens - slens_eff)
-    lo, hi, m_start = seed_search(bwt, occ, counts, n, reads, rows, starts,
-                                  slens_eff, min(max_slen, t_stop),
-                                  pfx_lo=pfx_lo, pfx_hi=pfx_hi,
-                                  prefix_q=prefix_q)
-    pos, hmask, _overflow = gather_hits(sa, lo, hi, capacity)
-
-    anchors = (pos - m_start[:, None]).reshape(-1)
-    crow = jnp.broadcast_to(rows[:, None], pos.shape).reshape(-1)
-    valid = hmask.reshape(-1)
-
-    key_row = jnp.where(valid, crow, R2)
-    perm = jnp.lexsort((anchors, key_row))
-    srow = key_row[perm]
-    sanch = anchors[perm]
-    svalid = valid[perm]
-    prev_row = jnp.concatenate([jnp.array([-1], jnp.int32), srow[:-1]])
-    prev_anch = jnp.concatenate(
-        [jnp.array([jnp.iinfo(jnp.int32).min], jnp.int32), sanch[:-1]])
-    keep = svalid & ~((srow == prev_row) & (sanch == prev_anch))
-
-    vrow = jnp.where(keep, srow, 0)
-    vanch = jnp.where(keep, sanch, 0)
-    lrow = jnp.take(lengths, vrow % n_loc).astype(jnp.int32)
-    dist, beg, end = banded_verify(text, vanch, reads, vrow, lrow,
-                                   max_err=max_errors)
-    budget = errors_for(lrow, rate_ppm)
-    ok = keep & (dist <= budget) & (beg >= 0) & (end <= n)
-    return (vrow % n_loc, (vrow // n_loc).astype(jnp.int8),
-            beg + bin_start, end + bin_start, dist, ok)
+META_DIST_SHIFT = 18
+META_OK_SHIFT = 31
 
 
-def build_dist_map_step(mesh: Mesh, *, rate_ppm: int, max_errors: int,
-                        capacity: int, max_slen: int, prefix_q: int = 0):
-    """Returns a jitted sharded step:
-    (fmset, bin_starts, reads, lengths, routing) -> DistMapOut.
+def _route_compact(routed: jnp.ndarray, r_cap: int):
+    """Compact the routed read slots of one bin (cumsum + scatter, no sort).
 
-    fmset: DeviceFMSet stacked arrays, axis 0 sharded over 'bin';
-    reads (R2, L) / lengths (n,) sharded over 'data' (rows [0,n) fwd, [n,2n) rc);
-    routing (n, B) bool (IBF candidates), sharded over ('data', 'bin').
+    routed: (n_loc,) bool. Returns (slot_read, slot_valid, overflow):
+    slot_read[s] = local id of the s-th routed read (ascending), s < r_cap.
     """
+    n_loc = routed.shape[0]
+    pos = jnp.cumsum(routed.astype(jnp.int32)) - 1
+    total = jnp.where(n_loc > 0, pos[-1] + 1, 0)
+    dst = jnp.where(routed & (pos < r_cap), pos, r_cap)
+    slot_read = jnp.zeros(r_cap + 1, jnp.int32).at[dst].set(
+        jnp.arange(n_loc, dtype=jnp.int32))[:r_cap]
+    slot_valid = jnp.arange(r_cap, dtype=jnp.int32) < jnp.minimum(total, r_cap)
+    return slot_read, slot_valid, jnp.maximum(total - r_cap, 0)
 
-    def local_step(fmset: DeviceFMSet, bin_starts, reads, lengths, routing):
-        B_loc = fmset.bwt_blocks.shape[0]
-        n_loc = lengths.shape[0]
-        data_idx = jax.lax.axis_index("data")
-        outs = []
-        for b in range(B_loc):
-            active_reads = routing[:, b]                       # (n_loc,)
-            ns = max_errors + 1
-            # per-seed active flag: row r -> read r % n_loc
-            row_active = jnp.tile(active_reads, 2)             # (R2,)
-            bin_active = jnp.repeat(row_active, ns)
-            rid, strand, beg, end, dist, ok = _map_one_bin(
-                fmset.bwt_blocks[b], fmset.occ[b], fmset.counts[b],
-                fmset.sa[b], fmset.text[b], fmset.n[b], bin_starts[b],
-                reads, lengths, bin_active,
-                None if fmset.pfx_lo is None else fmset.pfx_lo[b],
-                None if fmset.pfx_hi is None else fmset.pfx_hi[b],
-                rate_ppm=rate_ppm, max_errors=max_errors,
-                capacity=capacity, max_slen=max_slen, prefix_q=prefix_q)
-            outs.append((rid + data_idx * n_loc, strand, beg, end, dist, ok))
-        stack = [jnp.stack(x) for x in zip(*outs)]             # (B_loc, C)
-        return DistMapOut(*stack)
 
-    pfx_spec = P("bin") if prefix_q > 0 else None
+def routing_from_counts(counts, lengths2, k: int, rate_ppm: int, half: int):
+    """k-mer-lemma threshold + orientation OR — identical to the single-chip
+    classifier (ops/ibf_query.ibf_classify_packed)."""
+    e = (lengths2 * jnp.int32(rate_ppm)) // 10_000
+    thr = jnp.maximum((lengths2 - k + 1) - k * e, 1)
+    mask = counts >= thr[:, None]
+    return mask[:half] | mask[half:]                       # (half, Bp)
+
+
+def build_mesh_dream_step(mesh: Mesh, *, half_loc: int, L: int, B: int,
+                          r_cap: int, rate_ppm: int, max_errors: int,
+                          capacity: int, max_slen: int, prefix_q: int,
+                          sample_rate: int, use_pallas: bool,
+                          k: int = 0, n_hashes: int = 0,
+                          use_filter: bool = True):
+    """Jitted sharded step: (fmset, filter_words, blob) -> MeshMapOut.
+
+    fmset: DeviceFMSet, axis 0 sharded over 'bin' (B divisible by the bin
+    axis); filter_words replicated; blob = concatenated per-data-shard
+    pack_blob_with_lengths uploads, sharded over 'data'.
+    """
+    from ..pipeline.map_step import _map_step_core
+
+    data_ax = mesh.shape["data"]
+    bin_ax = mesh.shape["bin"]
+    assert B % bin_ax == 0, "pad bins to a multiple of the bin axis"
+    B_loc = B // bin_ax
+    cap2v = 2 * r_cap  # global verify budget per bin: ~1 lane per seq row
+
+    def local_step(fmset: DeviceFMSet, filter_words, blob):
+        packed, nmask, lengths = unpack_blob(blob, half_loc, L)
+        reads = unpack_reads(packed, nmask, lengths, L)    # (2*half_loc, L)
+        lengths2 = jnp.concatenate([lengths, lengths])
+
+        if use_filter:
+            counts = ibf_bin_counts(filter_words, reads, lengths2, k, n_hashes)
+            cand = routing_from_counts(counts, lengths2, k, rate_ppm, half_loc)
+            cand = cand[:, :B]
+        else:
+            cand = jnp.broadcast_to((lengths > 0)[:, None], (half_loc, B))
+
+        # routing bits for the host (fallback bookkeeping) — bit-packed
+        Wb = (B + 31) // 32
+        cb = jnp.pad(cand, ((0, 0), (0, Wb * 32 - B)))
+        route_words = (cb.reshape(half_loc, Wb, 32).astype(jnp.uint32)
+                       << jnp.arange(32, dtype=jnp.uint32)[None, None, :]).sum(
+                           axis=2, dtype=jnp.uint32)
+
+        base = jax.lax.axis_index("bin") * B_loc
+        local_cols = jax.lax.dynamic_slice_in_dim(cand, base, B_loc, axis=1)
+
+        def map_one_bin(_, xs):
+            fm_b, routed = xs
+            slot_read, slot_valid, route_ovf = _route_compact(routed, r_cap)
+            sub_fwd = jnp.take(reads, slot_read, axis=0)
+            sub_rc = jnp.take(reads, half_loc + slot_read, axis=0)
+            sub_reads = jnp.concatenate([sub_fwd, sub_rc], axis=0)
+            mask_col = jnp.where(slot_valid, 0, 4).astype(jnp.int8)[:, None]
+            sub_reads = jnp.where(
+                jnp.tile(mask_col, (2, 1)) == 4, jnp.int8(4), sub_reads)
+            sub_lens = jnp.where(slot_valid, jnp.take(lengths, slot_read), 0)
+
+            out = _map_step_core(
+                fm_b, sub_reads, sub_lens, rate_ppm, max_errors, capacity,
+                max_slen, None, cap2v, prefix_q, use_pallas, sample_rate)
+            meta = (out.row
+                    | (jnp.clip(out.dist, 0, 31) << META_DIST_SHIFT)
+                    | (out.ok.astype(jnp.int32) << META_OK_SHIFT))
+            return None, (out.begin, out.end, meta, out.overflow_total,
+                          out.n_spilled, route_ovf)
+
+        fm_xs = DeviceFM(
+            bwt_blocks=fmset.bwt_blocks, occ=fmset.occ, counts=fmset.counts,
+            sa=fmset.sa, text=fmset.text, n=fmset.n,
+            pfx_lo=fmset.pfx_lo, pfx_hi=fmset.pfx_hi, fused=fmset.fused,
+            sa_mark_bits=fmset.sa_mark_bits, sa_rank_ck=fmset.sa_rank_ck)
+        _, ys = jax.lax.scan(map_one_bin, None,
+                             (fm_xs, local_cols.T.astype(bool)))
+        begin, end, meta, ovf, spill, route_ovf = ys
+        return MeshMapOut(
+            begin=begin, end=end, meta=meta,
+            overflow_total=ovf[:, None], n_spilled=spill[:, None],
+            route_overflow=route_ovf[:, None], route_words=route_words)
+
+    fm_specs = DeviceFM(
+        bwt_blocks=P("bin"), occ=P("bin"), counts=P("bin"), sa=P("bin"),
+        text=P("bin"), n=P("bin"),
+        pfx_lo=None if prefix_q == 0 else P("bin"),
+        pfx_hi=None if prefix_q == 0 else P("bin"),
+        fused=P("bin"),
+        sa_mark_bits=None if sample_rate == 1 else P("bin"),
+        sa_rank_ck=None if sample_rate == 1 else P("bin"))
     fmset_spec = DeviceFMSet(
-        bwt_blocks=P("bin"), occ=P("bin"), counts=P("bin"),
-        sa=P("bin"), text=P("bin"), n=P("bin"),
-        pfx_lo=pfx_spec, pfx_hi=pfx_spec)
+        bwt_blocks=fm_specs.bwt_blocks, occ=fm_specs.occ,
+        counts=fm_specs.counts, sa=fm_specs.sa, text=fm_specs.text,
+        n=fm_specs.n, pfx_lo=fm_specs.pfx_lo, pfx_hi=fm_specs.pfx_hi,
+        fused=fm_specs.fused, sa_mark_bits=fm_specs.sa_mark_bits,
+        sa_rank_ck=fm_specs.sa_rank_ck)
+
     sharded = jax.shard_map(
         local_step, mesh=mesh,
-        in_specs=(fmset_spec, P("bin"), P("data"), P("data"), P("data", "bin")),
-        out_specs=DistMapOut(*(P("bin", "data"),) * 6),
+        in_specs=(fmset_spec, P(), P("data")),
+        out_specs=MeshMapOut(
+            begin=P("bin", "data"), end=P("bin", "data"),
+            meta=P("bin", "data"), overflow_total=P("bin", "data"),
+            n_spilled=P("bin", "data"), route_overflow=P("bin", "data"),
+            route_words=P("data")),
         check_vma=False)
     return jax.jit(sharded)
 
 
-def shard_db(mesh: Mesh, fmset: DeviceFMSet, bin_starts):
+def shard_db(mesh: Mesh, fmset: DeviceFMSet):
     """Place the stacked DB on the mesh ('bin'-sharded, replicated over 'data')."""
-    put = lambda x, s: jax.device_put(x, NamedSharding(mesh, s))
-    fmset_sh = DeviceFMSet(*(None if getattr(fmset, f) is None
-                             else put(getattr(fmset, f), P("bin"))
-                             for f in fmset._fields))
-    return fmset_sh, put(bin_starts, P("bin"))
+    put = lambda x: jax.device_put(x, NamedSharding(mesh, P("bin")))
+    return DeviceFMSet(*(None if getattr(fmset, f) is None
+                         else put(getattr(fmset, f))
+                         for f in fmset._fields))
 
 
-def shard_reads(seqs, lengths, n_data: int):
-    """Arrange a batch for the 'data' axis: each shard block is
-    [fwd rows of its reads; rc rows of its reads] so the shard-local layout
-    matches the local_step convention. Global read id of (shard d, local r)
-    is d * n_loc + r. n must divide evenly (callers pad with length-0 reads).
+def pack_batch_blob(seqs_fwd: np.ndarray, lengths: np.ndarray,
+                    data_ax: int, L: int):
+    """Per-data-shard packed uploads, concatenated so axis 0 shards evenly.
+
+    seqs_fwd: (n, L) forward rows only. Returns (blob, half_loc): reads are
+    padded with length-0 rows to data_ax * half_loc; global read id of
+    (shard d, slot s) = d * half_loc + s.
     """
-    import numpy as np
-
-    n = lengths.shape[0]
-    assert n % n_data == 0, "pad the batch to a multiple of the data axis"
-    n_loc = n // n_data
-    order = []
-    for d in range(n_data):
-        ids = np.arange(d * n_loc, (d + 1) * n_loc)
-        order.extend(ids.tolist())          # fwd rows
-        order.extend((n + ids).tolist())    # rc rows
-    return seqs[np.array(order)], lengths
+    n = len(lengths)
+    half_loc = (n + data_ax - 1) // data_ax
+    blobs = []
+    for d in range(data_ax):
+        ids = np.arange(d * half_loc, min((d + 1) * half_loc, n))
+        lens = np.zeros(half_loc, dtype=np.int32)
+        lens[: len(ids)] = lengths[ids]
+        blobs.append(pack_blob_with_lengths(seqs_fwd[ids], lens, half_loc, L))
+    return np.concatenate(blobs), half_loc
 
 
-def dist_map_step(mesh, fmset, bin_starts, reads, lengths, routing,
-                  *, rate_ppm, max_errors, capacity, max_slen) -> DistMapOut:
-    """One-shot convenience (rebuilds the jitted step; hold onto
-    build_dist_map_step's result for repeated batches)."""
-    step = build_dist_map_step(mesh, rate_ppm=rate_ppm, max_errors=max_errors,
-                               capacity=capacity, max_slen=max_slen)
-    return step(fmset, bin_starts, reads, lengths, routing)
+def decode_routing(route_words: np.ndarray, n: int, B: int) -> np.ndarray:
+    """(n_pad, Wb) uint32 -> (n, B) bool candidate mask."""
+    bits = ((route_words[:, :, None]
+             >> np.arange(32, dtype=np.uint32)[None, None, :]) & 1)
+    return bits.reshape(route_words.shape[0], -1)[:n, :B].astype(bool)

@@ -1,0 +1,170 @@
+"""Mesh DREAM driver: the multi-device edition of pipeline/dis_mapper.py.
+
+Host orchestration around parallel/dist_mapper.build_mesh_dream_step:
+upload packed read shards, run classify->route->map on the (data, bin) mesh,
+decode the fixed-shape match buffers, and re-map any (bin, reads) subset
+whose fixed capacities overflowed through the exact single-chip BinMapper —
+so the merged match set (and therefore the SAM bytes, after the canonical
+rank/dedup) is identical to the single-device DREAM pipeline for any mesh
+shape (SURVEY.md §4.4 determinism requirement; reference d_mapper.h merges
+per-bin matches into one store the same way [U]).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..io.readstore import ReadBatch
+from ..ops.device_index import DeviceFMSet
+from ..pipeline.dis_mapper import DreamIndex, _finish_batch, _sub_batch
+from ..pipeline.map_step import max_seed_len_static, use_pallas_default
+from ..pipeline.matches import Matches
+from ..pipeline.seeding import max_errors_for_batch, rate_to_ppm
+from ..utils.options import MapperOptions
+from ..utils.timer import StageTimers
+from .dist_mapper import (MeshMapOut, build_mesh_dream_step, decode_routing,
+                          pack_batch_blob, shard_db)
+from .mesh import make_mesh
+
+META_ROW_MASK = (1 << 18) - 1
+
+
+class MeshDreamMapper:
+    """Maps batches against all bins on a (data, bin) device mesh."""
+
+    def __init__(self, index: DreamIndex, opts: MapperOptions,
+                 mesh=None, n_devices: int | None = None,
+                 r_cap: int | None = None, use_pallas: bool | None = None):
+        self.index = index
+        self.opts = opts
+        self.mesh = mesh or make_mesh(n_devices, n_bins=index.n_bins)
+        self.bin_ax = self.mesh.shape["bin"]
+        self.data_ax = self.mesh.shape["data"]
+        self.B = ((index.n_bins + self.bin_ax - 1) // self.bin_ax) * self.bin_ax
+        self.r_cap_arg = r_cap
+        self.use_pallas = (use_pallas_default() if use_pallas is None
+                           else use_pallas)
+
+        fms = list(index.fms)
+        texts = [st.text for st in index.stores]
+        # pad to the bin axis with empty bins (n=0: searches return empty)
+        host_set = DeviceFMSet.from_host(fms, texts, pad_bins_to=self.B)
+        self.fmset = shard_db(self.mesh, host_set)
+        self.prefix_q = host_set.prefix_q
+        self.sample_rate = fms[0].sample_rate if fms else 1
+
+        self.use_filter = (index.filter_type != "none"
+                           and index.filter is not None)
+        if self.use_filter:
+            self.filter_words = jax.device_put(
+                jnp.asarray(index.filter.words),
+                jax.sharding.NamedSharding(self.mesh,
+                                           jax.sharding.PartitionSpec()))
+            self.k = index.filter.k
+            self.n_hashes = index.filter.n_hashes
+        else:
+            self.filter_words = jnp.zeros((1, 2), dtype=jnp.uint32)
+            self.k = self.n_hashes = 0
+        self._steps: dict = {}
+
+    def _r_cap(self, half_loc: int) -> int:
+        if self.r_cap_arg is not None:
+            return min(self.r_cap_arg, half_loc)
+        if not self.use_filter:
+            return half_loc
+        # expected per-bin routed reads ~ half_loc * routes/B; 4x headroom,
+        # overflow is counted and re-mapped on host (never dropped)
+        return max(64, min(half_loc, (4 * half_loc + self.B - 1) // self.B))
+
+    def _step(self, half_loc: int, L: int, r_cap: int, rate_ppm: int,
+              max_err: int, max_slen: int):
+        key = (half_loc, L, r_cap, rate_ppm, max_err)
+        if key not in self._steps:
+            self._steps[key] = build_mesh_dream_step(
+                self.mesh, half_loc=half_loc, L=L, B=self.B, r_cap=r_cap,
+                rate_ppm=rate_ppm, max_errors=max_err, capacity=8,
+                max_slen=max_slen, prefix_q=self.prefix_q,
+                sample_rate=self.sample_rate, use_pallas=self.use_pallas,
+                k=self.k, n_hashes=self.n_hashes, use_filter=self.use_filter)
+        return self._steps[key]
+
+    def map_batch(self, batch: ReadBatch,
+                  timers: StageTimers | None = None) -> Matches:
+        """All matches in GLOBAL int64 coordinates (like dis_map_batch)."""
+        timers = timers or StageTimers()
+        opts = self.opts
+        index = self.index
+        n = batch.n_reads
+        L = batch.max_len
+        rate_ppm = rate_to_ppm(opts.error_rate)
+        max_err = max(1, max_errors_for_batch(L, opts.error_rate))
+        max_slen = max_seed_len_static(L, rate_ppm)
+
+        blob, half_loc = pack_batch_blob(batch.seqs[:n], batch.lengths,
+                                         self.data_ax, L)
+        r_cap = self._r_cap(half_loc)
+        step = self._step(half_loc, L, r_cap, rate_ppm, max_err, max_slen)
+        with timers.stage("mesh map (device)"):
+            out: MeshMapOut = step(self.fmset, self.filter_words,
+                                   jnp.asarray(blob))
+            out = MeshMapOut(*(np.asarray(x) for x in out))
+
+        routing = decode_routing(out.route_words, n, self.B)
+        D, cap2v = self.data_ax, 2 * r_cap
+        parts: list[Matches] = []
+        sens = opts.sensitivity
+        for b in range(index.n_bins):
+            off = int(index.contigs.bin_starts[b])
+            bad = (int(out.n_spilled[b].sum()) > 0
+                   or int(out.route_overflow[b].sum()) > 0
+                   or (int(out.overflow_total[b].sum()) > 0 and sens != "low"))
+            ids_b = np.flatnonzero(routing[:, b])
+            if len(ids_b) == 0:
+                continue
+            if bad:
+                # a fixed capacity overflowed somewhere for this bin:
+                # re-map its routed subset through the exact single-chip
+                # path (completeness / byte-equality, never silent drops)
+                with timers.stage("mesh overflow fallback (host)"):
+                    bm = index.bin_mapper(b, opts, timers)
+                    m = bm.map_batch(_sub_batch(batch, ids_b))
+                    m.begin += off
+                    m.end += off
+                    m.read_id = ids_b[m.read_id].astype(np.int32)
+                    parts.append(m)
+                continue
+            with timers.stage("mesh collect (host)"):
+                for d in range(D):
+                    meta = out.meta[b, d * cap2v : (d + 1) * cap2v]
+                    ok = (meta.view(np.uint32) >> 31) > 0
+                    if not ok.any():
+                        continue
+                    meta = meta[ok]
+                    subrow = (meta & META_ROW_MASK).astype(np.int64)
+                    dist = ((meta >> 18) & 31).astype(np.int32)
+                    begin = out.begin[b, d * cap2v : (d + 1) * cap2v][ok]
+                    end = out.end[b, d * cap2v : (d + 1) * cap2v][ok]
+                    slot = subrow % r_cap
+                    strand = (subrow // r_cap).astype(np.int8)
+                    lo_ids = ids_b[(ids_b >= d * half_loc)
+                                   & (ids_b < (d + 1) * half_loc)]
+                    read_id = lo_ids[slot]
+                    parts.append(Matches(
+                        read_id=read_id.astype(np.int32), strand=strand,
+                        begin=begin.astype(np.int64) + off,
+                        end=end.astype(np.int64) + off,
+                        dist=dist))
+        return Matches.concat(parts)
+
+
+def mesh_dream_sam(mapper: MeshDreamMapper, batch: ReadBatch,
+                   cmdline: str = "", timers: StageTimers | None = None,
+                   header: bool = True, stats: dict | None = None) -> str:
+    """Full mesh DREAM pipeline -> SAM text (same finishing stages as the
+    single-device dream_map_sam: rank/dedup, PE rescue, CIGAR, writer)."""
+    timers = timers or StageTimers()
+    m = mapper.map_batch(batch, timers)
+    return _finish_batch(mapper.index, batch, m, mapper.opts, cmdline, timers,
+                         header, stats)

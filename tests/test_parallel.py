@@ -1,23 +1,19 @@
-"""Mesh-sharded mapping on the virtual 8-device CPU mesh (SURVEY.md §4.3):
-same inputs, different mesh shapes -> identical match sets."""
+"""Mesh DREAM pipeline on the virtual 8-device CPU mesh (SURVEY.md §4.3):
+classify -> route -> map -> merge -> SAM, byte-identical to the single-device
+pipeline for any mesh shape, with every fixed capacity overflow-safe."""
 
 import numpy as np
 import pytest
 
-import jax
-import jax.numpy as jnp
-
 from dream_yara_tpu.index.fmindex import FMIndex
+from dream_yara_tpu.index.ibf import InterleavedBloomFilter
 from dream_yara_tpu.io.readstore import ReadBatch
 from dream_yara_tpu.io.seqstore import SeqStore
-from dream_yara_tpu.ops.device_index import DeviceFMSet
-from dream_yara_tpu.parallel.dist_mapper import (
-    build_dist_map_step, shard_db, shard_reads,
-)
+from dream_yara_tpu.parallel.dream_mesh import MeshDreamMapper, mesh_dream_sam
 from dream_yara_tpu.parallel.mesh import make_mesh, mesh_factors
-from dream_yara_tpu.pipeline.map_step import max_seed_len_static
-from dream_yara_tpu.pipeline.seeding import rate_to_ppm
+from dream_yara_tpu.pipeline.dis_mapper import DreamIndex, dream_map_sam
 from dream_yara_tpu.utils.alphabet import revcomp
+from dream_yara_tpu.utils.options import MapperOptions
 from tests.conftest import mutate, random_text
 
 
@@ -28,89 +24,148 @@ def test_mesh_factors():
     assert mesh_factors(4, 3) == (4 // 2, 2) or mesh_factors(4, 3)[1] <= 3
 
 
+def _make_db(rng, B, glen=6000, with_filter=True):
+    genomes = [random_text(rng, glen) for _ in range(B)]
+    stores = [SeqStore.from_seqs([f"g{b}"], [genomes[b]]) for b in range(B)]
+    fms = [FMIndex.build(st.text) for st in stores]
+    filt = None
+    if with_filter:
+        filt = InterleavedBloomFilter.create(B, size_bits=1 << 22,
+                                             n_hashes=3, k=19)
+        for b, g in enumerate(genomes):
+            filt.add_kmers(g, b)
+    return genomes, DreamIndex(stores, fms, filt,
+                               "bloom" if with_filter else "none")
+
+
+def _planted(rng, genomes, n_per_bin=6, read_len=100, n_sub=2):
+    names, reads, truth = [], [], []
+    for b, g in enumerate(genomes):
+        for i in range(n_per_bin):
+            p = int(rng.integers(0, len(g) - read_len))
+            r = mutate(rng, g[p : p + read_len].copy(), n_sub=n_sub)
+            strand = int(rng.random() < 0.5)
+            if strand:
+                r = revcomp(r)
+            names.append(f"b{b}r{i}")
+            reads.append(r)
+            truth.append((b, p, strand))
+    return ReadBatch.from_reads(names, reads), truth
+
+
 @pytest.fixture(scope="module")
 def db_and_reads():
     rng = np.random.default_rng(31)
-    B = 4
-    genomes = [random_text(rng, 4000) for _ in range(B)]
+    genomes, index = _make_db(rng, B=4)
+    batch, truth = _planted(rng, genomes)
+    return genomes, index, batch, truth
+
+
+def test_mesh_finds_planted(db_and_reads):
+    genomes, index, batch, truth = db_and_reads
+    opts = MapperOptions(error_rate=0.03)
+    mapper = MeshDreamMapper(index, opts, n_devices=8)
+    m = mapper.map_batch(batch)
+    starts = index.contigs.bin_starts
+    found = set(zip(m.read_id.tolist(), m.strand.tolist(), m.begin.tolist()))
+    for rid, (b, p, strand) in enumerate(truth):
+        assert (rid, strand, int(starts[b]) + p) in found, f"read {rid}"
+
+
+def test_mesh_sam_identical_to_single_device(db_and_reads):
+    """The determinism contract (SURVEY.md §4.4): byte-identical SAM for any
+    mesh shape, including the single-device DREAM pipeline."""
+    genomes, index, batch, truth = db_and_reads
+    opts = MapperOptions(error_rate=0.03, secondary_matches="tag")
+    ref = dream_map_sam(index, batch, opts)
+    for nd in (1, 2, 4, 8):
+        mapper = MeshDreamMapper(index, opts, n_devices=nd)
+        sam = mesh_dream_sam(mapper, batch)
+        assert sam == ref, f"mesh({nd} devices) SAM differs"
+
+
+def test_mesh_routing_is_selective(db_and_reads):
+    """Capacity routing must realize the IBF saving: with 4 bins of random
+    sequence, the per-bin routed sets are ~n/B, not n (the dense
+    cross-product the round-1 mesh used)."""
+    genomes, index, batch, truth = db_and_reads
+    opts = MapperOptions(error_rate=0.03)
+    mapper = MeshDreamMapper(index, opts, n_devices=8)
+    assert mapper.use_filter
+    # auto r_cap is sized from the routing rate, far below n_loc for B=4
+    from dream_yara_tpu.parallel.dist_mapper import pack_batch_blob
+    _, half_loc = pack_batch_blob(batch.seqs[:batch.n_reads], batch.lengths,
+                                  mapper.data_ax, batch.max_len)
+    assert mapper._r_cap(half_loc) < half_loc or half_loc <= 64
+
+
+def test_mesh_route_overflow_fallback(db_and_reads):
+    """Undersized routing capacity must fall back to the host path, not drop
+    reads: force r_cap=1 and require byte-identical SAM."""
+    genomes, index, batch, truth = db_and_reads
+    opts = MapperOptions(error_rate=0.03)
+    ref = dream_map_sam(index, batch, opts)
+    mapper = MeshDreamMapper(index, opts, n_devices=8, r_cap=1)
+    from dream_yara_tpu.utils.timer import StageTimers
+    timers = StageTimers()
+    sam = mesh_dream_sam(mapper, batch, timers=timers)
+    assert sam == ref
+    assert any("fallback" in k for k in timers.totals), \
+        "r_cap=1 should have triggered the host fallback"
+
+
+def test_mesh_seed_overflow_fallback():
+    """Hyper-repetitive bins overflow the per-seed hit capacity; the mesh
+    path must surface it and converge to the single-device output."""
+    rng = np.random.default_rng(77)
+    B = 2
+    unit = random_text(rng, 40)
+    tandem = np.tile(unit, 60)  # 60 copies -> every seed overflows cap=8
+    plain = random_text(rng, 2400)
+    genomes = [tandem, plain]
     stores = [SeqStore.from_seqs([f"g{b}"], [genomes[b]]) for b in range(B)]
     fms = [FMIndex.build(st.text) for st in stores]
-    fmset = DeviceFMSet.from_host(fms, [st.text for st in stores])
-    bin_starts = np.zeros(B, dtype=np.int32)
-    off = 0
-    for b, st in enumerate(stores):
-        bin_starts[b] = off
-        off += len(st.text)
-
-    n = 16
-    names, reads, truth = [], [], []
-    for i in range(n):
-        b = i % B
-        p = int(rng.integers(0, 3900))
-        r = mutate(rng, genomes[b][p : p + 80].copy(), n_sub=1)
-        if i % 2:
-            r = revcomp(r)
-        names.append(f"r{i}")
-        reads.append(r)
-        truth.append((b, p, i % 2))
-    batch = ReadBatch.from_reads(names, reads)
-    return fmset, bin_starts, batch, truth, B
+    index = DreamIndex(stores, fms, None, "none")
+    reads = [np.tile(unit, 3)[:80].copy(), plain[100:180].copy()]
+    batch = ReadBatch.from_reads(["rep", "plain"], reads)
+    for sens in ("full", "high", "low"):
+        opts = MapperOptions(error_rate=0.03, sensitivity=sens)
+        ref = dream_map_sam(index, batch, opts)
+        mapper = MeshDreamMapper(index, opts, n_devices=8)
+        sam = mesh_dream_sam(mapper, batch)
+        assert sam == ref, f"sensitivity={sens}"
 
 
-def run_mesh(fmset, bin_starts, batch, B, n_devices):
-    mesh = make_mesh(n_devices, n_bins=B)
-    n_data = mesh.shape["data"]
-    rate_ppm = rate_to_ppm(0.03)
-    max_err = 2
-    max_slen = max_seed_len_static(batch.max_len, rate_ppm)
-    step = build_dist_map_step(mesh, rate_ppm=rate_ppm, max_errors=max_err,
-                               capacity=4, max_slen=max_slen)
-    seqs, lengths = shard_reads(batch.seqs, batch.lengths, n_data)
-    fmset_sh, bs_sh = shard_db(mesh, fmset, jnp.asarray(bin_starts))
-    routing = np.ones((batch.n_reads, B), dtype=bool)
-    out = step(fmset_sh, bs_sh, jnp.asarray(seqs), jnp.asarray(lengths),
-               jnp.asarray(routing))
-    ok = np.asarray(out.ok).reshape(-1)
-    res = set()
-    for f in ["read_id", "strand", "begin", "end", "dist"]:
-        pass
-    rid = np.asarray(out.read_id).reshape(-1)[ok]
-    strand = np.asarray(out.strand).reshape(-1)[ok]
-    beg = np.asarray(out.begin).reshape(-1)[ok]
-    end = np.asarray(out.end).reshape(-1)[ok]
-    dist = np.asarray(out.dist).reshape(-1)[ok]
-    return set(zip(rid.tolist(), strand.tolist(), beg.tolist(),
-                   end.tolist(), dist.tolist()))
+def test_mesh_pe_identical(db_and_reads):
+    """PE mode (pairing + rescue) through the mesh matches single-device."""
+    genomes, index, batch_se, truth = db_and_reads
+    rng = np.random.default_rng(5)
+    m1, m2 = [], []
+    for b, g in enumerate(genomes):
+        for i in range(3):
+            p = int(rng.integers(0, len(g) - 400))
+            r1 = mutate(rng, g[p : p + 100].copy(), n_sub=1)
+            r2 = revcomp(mutate(rng, g[p + 200 : p + 300].copy(), n_sub=1))
+            if b == 0 and i == 0:
+                r2 = random_text(rng, 100)  # unmapped mate -> rescue path
+            m1.append(r1)
+            m2.append(r2)
+    names = [f"p{i}" for i in range(len(m1))]
+    batch = ReadBatch.from_reads(names * 2, m1 + m2, paired=True)
+    opts = MapperOptions(error_rate=0.03, library_length=300,
+                         library_deviation=60)
+    ref = dream_map_sam(index, batch, opts)
+    mapper = MeshDreamMapper(index, opts, n_devices=8)
+    sam = mesh_dream_sam(mapper, batch)
+    assert sam == ref
 
 
-def test_dist_map_finds_planted(db_and_reads):
-    fmset, bin_starts, batch, truth, B = db_and_reads
-    found = run_mesh(fmset, bin_starts, batch, B, n_devices=8)
-    for rid, (b, p, strand) in enumerate(truth):
-        glob = int(bin_starts[b]) + p
-        assert any(r == rid and s == strand and bg == glob and d <= 1
-                   for (r, s, bg, e, d) in found), f"read {rid}"
-
-
-def test_mesh_shape_invariance(db_and_reads):
-    """1, 2, 4, 8 devices -> identical match sets (determinism contract)."""
-    fmset, bin_starts, batch, truth, B = db_and_reads
-    ref = run_mesh(fmset, bin_starts, batch, B, n_devices=1)
-    for nd in (2, 4, 8):
-        assert run_mesh(fmset, bin_starts, batch, B, nd) == ref
-
-
-def test_routing_mask_respected(db_and_reads):
-    """Reads masked out of a bin produce no matches there."""
-    fmset, bin_starts, batch, truth, B = db_and_reads
-    mesh = make_mesh(8, n_bins=B)
-    rate_ppm = rate_to_ppm(0.03)
-    max_slen = max_seed_len_static(batch.max_len, rate_ppm)
-    step = build_dist_map_step(mesh, rate_ppm=rate_ppm, max_errors=2,
-                               capacity=4, max_slen=max_slen)
-    seqs, lengths = shard_reads(batch.seqs, batch.lengths, mesh.shape["data"])
-    fmset_sh, bs_sh = shard_db(mesh, fmset, jnp.asarray(bin_starts))
-    routing = np.zeros((batch.n_reads, B), dtype=bool)  # mask everything
-    out = step(fmset_sh, bs_sh, jnp.asarray(seqs), jnp.asarray(lengths),
-               jnp.asarray(routing))
-    assert not np.asarray(out.ok).any()
+def test_mesh_no_filter_dense(db_and_reads):
+    """filter_type none -> every read maps against every bin (baseline
+    correctness mode), still identical to single-device."""
+    genomes, index, batch, truth = db_and_reads
+    index_none = DreamIndex(index.stores, index.fms, None, "none")
+    opts = MapperOptions(error_rate=0.03)
+    ref = dream_map_sam(index_none, batch, opts)
+    mapper = MeshDreamMapper(index_none, opts, n_devices=8)
+    assert mesh_dream_sam(mapper, batch) == ref
