@@ -41,6 +41,16 @@ def main(argv=None):
     p.add_argument("-ft", "--filter-type", default="bloom",
                    choices=["bloom", "kmer_direct", "none"])
     p.add_argument("-v", "--verbose", action="count", default=0)
+    # distributed runtime (SURVEY.md §5.8): --mesh runs the (data, bin)
+    # device mesh on all local devices; the coordinator flags join a
+    # multi-host jax.distributed run (bins sharded across hosts, SAM from
+    # process 0)
+    p.add_argument("--mesh", action="store_true",
+                   help="map on the multi-device (data, bin) mesh")
+    p.add_argument("--coordinator", default=None,
+                   help="host:port of jax.distributed process 0")
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
     a = p.parse_args(argv)
 
     import os
@@ -53,6 +63,10 @@ def main(argv=None):
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass
+
+    if a.coordinator is not None:
+        from ..parallel.multihost import init_multihost
+        init_multihost(a.coordinator, a.num_processes, a.process_id)
 
     from ..io.fastq import FastqBatchReader
     from ..pipeline.dis_mapper import DreamIndex, dream_map_sam
@@ -69,9 +83,62 @@ def main(argv=None):
         verbose=a.verbose)
 
     t0 = time.time()
-    index = DreamIndex.load(a.db_dir, filter_type=a.filter_type)
     timers = StageTimers()
+    if a.coordinator is not None:
+        from ..parallel.multihost import MultiHostDreamMapper
+
+        mh = MultiHostDreamMapper(a.db_dir, opts, filter_type=a.filter_type)
+        timers.add("load index (bin shard)", time.time() - t0)
+        reader = FastqBatchReader(a.reads, a.reads2, batch_size=a.reads_batch)
+        out = (sys.stdout if a.output_file in ("-", "")
+               else open(a.output_file, "w"))
+        stats = {}
+        header = True
+        t0 = time.time()
+        for batch in reader:
+            sam = mh.map_sam(batch, cmdline=" ".join(sys.argv[1:]),
+                             timers=timers, header=header, stats=stats)
+            header = False
+            if sam is not None:
+                out.write(sam)
+        if out is not sys.stdout:
+            out.close()
+        dt = time.time() - t0
+        n_reads = stats.get("reads", 0)
+        print(f"[mapper p{a.process_id}] {n_reads} reads in {dt:.1f}s "
+              f"({n_reads / max(dt, 1e-9):.0f} reads/s)", file=sys.stderr)
+        if a.verbose:
+            print(timers.report(), file=sys.stderr)
+        return
+
+    index = DreamIndex.load(a.db_dir, filter_type=a.filter_type)
     timers.add("load index", time.time() - t0)
+    if a.mesh:
+        import jax
+
+        from ..parallel.dream_mesh import MeshDreamMapper, mesh_dream_sam
+
+        mm = MeshDreamMapper(index, opts)
+        reader = FastqBatchReader(a.reads, a.reads2, batch_size=a.reads_batch)
+        out = (sys.stdout if a.output_file in ("-", "")
+               else open(a.output_file, "w"))
+        stats = {}
+        header = True
+        t0 = time.time()
+        for batch in reader:
+            out.write(mesh_dream_sam(mm, batch, timers=timers, header=header,
+                                     stats=stats))
+            header = False
+        if out is not sys.stdout:
+            out.close()
+        dt = time.time() - t0
+        n_reads = stats.get("reads", 0)
+        print(f"[mapper mesh={dict(mm.mesh.shape)}] {n_reads} reads in "
+              f"{dt:.1f}s ({n_reads / max(dt, 1e-9):.0f} reads/s)",
+              file=sys.stderr)
+        if a.verbose:
+            print(timers.report(), file=sys.stderr)
+        return
 
     out = (sys.stdout if a.output_file in ("-", "")
            else open(a.output_file, "w"))

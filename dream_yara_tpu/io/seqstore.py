@@ -64,6 +64,20 @@ class SeqStore:
                  offsets=self.offsets, lengths=self.lengths)
 
     @classmethod
+    def load_meta(cls, path):
+        """Contig metadata WITHOUT the text payload (np.load is lazy per
+        array): (names, offsets, lengths, text_len). Multi-host mappers use
+        this to build the global contig table while loading heavy per-bin
+        arrays only for locally-owned bins (SURVEY.md §5.8)."""
+        path = str(path)
+        if not path.endswith(".npz"):
+            path += ".npz"
+        z = np.load(path)
+        lengths = z["lengths"]
+        text_len = int(lengths.sum()) + len(lengths)  # + sentinel per contig
+        return ([str(x) for x in z["names"]], z["offsets"], lengths, text_len)
+
+    @classmethod
     def load(cls, path) -> "SeqStore":
         path = str(path)
         if not path.endswith(".npz"):

@@ -93,11 +93,23 @@ class DeviceFMSet(NamedTuple):
 
     @classmethod
     def from_host(cls, fms: list[FMIndex], texts: list[np.ndarray],
-                  pad_bins_to: int | None = None) -> "DeviceFMSet":
+                  pad_bins_to: int | None = None,
+                  max_n: int | None = None) -> "DeviceFMSet":
+        arrs = cls.build_np(fms, texts, pad_bins_to, max_n)
+        return cls(**{k: None if v is None else jnp.asarray(v)
+                      for k, v in arrs.items()})
+
+    @classmethod
+    def build_np(cls, fms: list[FMIndex], texts: list[np.ndarray],
+                 pad_bins_to: int | None = None,
+                 max_n: int | None = None) -> dict:
+        """NumPy field dict (multi-host loaders assemble global arrays from
+        these per-process shards; `max_n` forces the pad size so every
+        process builds identically-shaped shards)."""
         from .rank import build_fused_rank_rows
 
         B = len(fms)
-        max_n = max(fm.n for fm in fms)
+        max_n = max_n or max(fm.n for fm in fms)
         max_blocks = (max_n + BLOCK - 1) // BLOCK
         Bp = pad_bins_to or B
 
@@ -155,14 +167,10 @@ class DeviceFMSet(NamedTuple):
                 rank_ck[b, : d.sa_rank_ck.shape[0]] = d.sa_rank_ck
                 rank_ck[b, d.sa_rank_ck.shape[0] :] = d.sa_rank_ck[-1]
 
-        return cls(bwt_blocks=jnp.asarray(bwt), occ=jnp.asarray(occ),
-                   counts=jnp.asarray(counts), sa=jnp.asarray(sa),
-                   text=jnp.asarray(text), n=jnp.asarray(n),
-                   pfx_lo=None if pfx_lo is None else jnp.asarray(pfx_lo),
-                   pfx_hi=None if pfx_hi is None else jnp.asarray(pfx_hi),
-                   fused=jnp.asarray(fused_rows),
-                   sa_mark_bits=None if mark_bits is None else jnp.asarray(mark_bits),
-                   sa_rank_ck=None if rank_ck is None else jnp.asarray(rank_ck))
+        return dict(bwt_blocks=bwt, occ=occ, counts=counts, sa=sa,
+                    text=text, n=n, pfx_lo=pfx_lo, pfx_hi=pfx_hi,
+                    fused=fused_rows, sa_mark_bits=mark_bits,
+                    sa_rank_ck=rank_ck)
 
     @property
     def prefix_q(self) -> int:

@@ -23,7 +23,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-INF = jnp.int32(1 << 20)
+INF = 1 << 20  # plain int: a module-level jnp scalar would initialize the
+               # XLA backend at import, breaking jax.distributed.initialize
 
 
 def banded_verify(text: jnp.ndarray, anchors: jnp.ndarray, reads: jnp.ndarray,

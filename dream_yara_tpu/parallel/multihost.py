@@ -1,0 +1,456 @@
+"""Multi-host DREAM runtime: jax.distributed + per-host bin-shard loading +
+cross-host merge (SURVEY.md §5.8; BASELINE configs 3/5).
+
+The reference has NO distributed runtime — its multi-node story is manual
+bin placement plus offline SAM merge. Here distribution is first-class:
+
+  * one `jax.distributed` runtime; the mesh's 'bin' axis is laid out across
+    processes, so each host loads ONLY its own bins' index artifacts
+    (SeqStore.load_meta supplies the light global contig table to everyone);
+  * the sharded classify->route->map step from parallel/dist_mapper runs
+    SPMD across all hosts (same program as single-host);
+  * matches, fallback results, and per-bin CIGAR strings merge across hosts
+    with `process_allgather` (ICI/DCN collectives — not filesystem merges);
+    ranking/pairing/MAPQ then run replicated on the deterministic global
+    match table, and process 0 emits the SAM.
+
+Validated in-image with the multiprocess CPU backend (2 processes x 4
+virtual devices, tools/multihost_demo.py + tests/test_multihost.py) since
+only one real TPU chip is available; the same code path drives TPU pods
+(jax.distributed.initialize with no args under a pod scheduler).
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..io.readstore import ReadBatch
+from ..io.seqstore import SeqStore
+from ..index.fmindex import FMIndex
+from ..index.ibf import InterleavedBloomFilter
+from ..index.kdx import DirectKmerFilter
+from ..ops.device_index import DeviceFMSet
+from ..pipeline.dis_mapper import bin_file, _sub_batch
+from ..pipeline.map_step import max_seed_len_static, use_pallas_default
+from ..pipeline.matches import Matches, dedup_matches, rank_matches
+from ..pipeline.seeding import max_errors_for_batch, rate_to_ppm
+from ..pipeline.writer import GlobalContigs
+from ..utils.options import MapperOptions
+from ..utils.timer import StageTimers
+from .dist_mapper import (build_mesh_dream_step, decode_routing,
+                          pack_batch_blob)
+from .dream_mesh import META_ROW_MASK, MeshMapOut
+
+
+def init_multihost(coordinator: str, num_processes: int, process_id: int):
+    """Join the jax.distributed runtime (no-op if already initialized).
+
+    On a real pod with a cluster scheduler, jax.distributed.initialize()
+    with no arguments auto-detects; this explicit form serves the CPU
+    multi-process validation path and bare-metal launches."""
+    jax.distributed.initialize(coordinator_address=coordinator,
+                               num_processes=num_processes,
+                               process_id=process_id)
+
+
+def make_multihost_mesh() -> Mesh:
+    """(data, bin) mesh with the 'bin' axis laid out ACROSS processes, so a
+    bin shard lives entirely on one host and that host alone needs its
+    artifacts. Data axis = the local devices of each host."""
+    procs = jax.process_count()
+    local = jax.local_device_count()
+    devs = np.empty((local, procs), dtype=object)
+    by_proc: dict[int, list] = {}
+    for d in jax.devices():
+        by_proc.setdefault(d.process_index, []).append(d)
+    for p, ds in by_proc.items():
+        for i, d in enumerate(sorted(ds, key=lambda x: x.id)):
+            devs[i, p] = d
+    return Mesh(devs, ("data", "bin"))
+
+
+def _allgather_concat(arr: np.ndarray) -> np.ndarray:
+    """Concatenate per-process variable-length 1-D arrays over all hosts."""
+    from jax.experimental import multihost_utils as mh
+
+    lens = mh.process_allgather(np.array([len(arr)], dtype=np.int64))
+    lens = np.asarray(lens).reshape(-1)
+    m = int(lens.max()) if len(lens) else 0
+    if m == 0:
+        return arr[:0]
+    pad = np.zeros(m, dtype=arr.dtype)
+    pad[: len(arr)] = arr
+    gathered = np.asarray(mh.process_allgather(pad))  # (procs, m)
+    return np.concatenate([gathered[p, : lens[p]] for p in range(len(lens))])
+
+
+def allgather_matches(m: Matches) -> Matches:
+    return Matches(
+        read_id=_allgather_concat(m.read_id),
+        strand=_allgather_concat(m.strand),
+        begin=_allgather_concat(m.begin),
+        end=_allgather_concat(m.end),
+        dist=_allgather_concat(m.dist),
+    )
+
+
+class MultiHostDreamMapper:
+    """DREAM mapping across hosts; each host owns a contiguous bin range."""
+
+    def __init__(self, db_dir, opts: MapperOptions, filter_type: str = "bloom",
+                 r_cap: int | None = None):
+        self.opts = opts
+        db_dir = Path(db_dir)
+        meta = json.loads((db_dir / "meta.json").read_text())
+        self.n_bins = meta["n_bins"]
+        self.mesh = make_multihost_mesh()
+        self.bin_ax = self.mesh.shape["bin"]
+        self.data_ax = self.mesh.shape["data"]
+        self.pid = jax.process_index()
+        self.B = ((self.n_bins + self.bin_ax - 1) // self.bin_ax) * self.bin_ax
+        self.B_loc = self.B // self.bin_ax
+        self.r_cap_arg = r_cap
+        self.use_pallas = use_pallas_default()
+
+        # light global contig table from metadata only (every host)
+        names, lengths, starts, bin_starts = [], [], [], [0]
+        pos = 0
+        for b in range(self.n_bins):
+            nm, offs, lens, tlen = SeqStore.load_meta(
+                bin_file(db_dir, b, "store"))
+            names.extend(nm)
+            lengths.extend(np.asarray(lens).tolist())
+            starts.extend((np.asarray(offs) + pos).tolist())
+            pos += tlen
+            bin_starts.append(pos)
+        while len(bin_starts) <= self.B:
+            bin_starts.append(pos)
+        self.contigs = GlobalContigs(
+            names=names, lengths=np.array(lengths, dtype=np.int64),
+            starts=np.array(starts, dtype=np.int64),
+            bin_starts=np.array(bin_starts, dtype=np.int64))
+
+        # heavy artifacts: ONLY this host's bins
+        self.my_bins = [b for b in range(self.pid * self.B_loc,
+                                         min((self.pid + 1) * self.B_loc,
+                                             self.n_bins))]
+        self.stores = {b: SeqStore.load(bin_file(db_dir, b, "store"))
+                       for b in self.my_bins}
+        self.fms = {b: FMIndex.load(bin_file(db_dir, b, "fm"))
+                    for b in self.my_bins}
+        for fm in self.fms.values():
+            assert fm.sample_rate == 1, \
+                "multi-host skeleton requires full-SA bins (uniform shapes)"
+
+        # globally consistent pad sizes
+        from jax.experimental import multihost_utils as mh
+        local_max = max((fm.n for fm in self.fms.values()), default=0)
+        local_q = min((fm.prefix_q for fm in self.fms.values()), default=0)
+        maxes = np.asarray(mh.process_allgather(
+            np.array([local_max, local_q], dtype=np.int64)))
+        max_n = int(maxes[:, 0].max())
+        qs = maxes[:, 1]
+        self.prefix_q = int(qs.min()) if (qs > 0).all() else 0
+
+        fms_l = [self.fms[b] for b in self.my_bins]
+        texts_l = [self.stores[b].text for b in self.my_bins]
+        if self.prefix_q:
+            for fm, t in zip(fms_l, texts_l):
+                if fm.prefix_q != self.prefix_q:
+                    fm.build_prefix_table(t, self.prefix_q)
+        arrs = DeviceFMSet.build_np(fms_l, texts_l, pad_bins_to=self.B_loc,
+                                    max_n=max_n)
+        if not self.prefix_q:
+            arrs["pfx_lo"] = arrs["pfx_hi"] = None
+
+        def put_bin_sharded(x):
+            if x is None:
+                return None
+            sh = NamedSharding(self.mesh, P("bin"))
+            return jax.make_array_from_process_local_data(
+                sh, x, (self.B,) + x.shape[1:])
+        self.fmset = DeviceFMSet(**{k: put_bin_sharded(v)
+                                    for k, v in arrs.items()})
+
+        # prefilter: replicated (every host loads the same file)
+        self.filter = None
+        self.filter_type = "none"
+        if filter_type == "bloom" and (db_dir / "db.filter.npz").exists():
+            self.filter = InterleavedBloomFilter.load(db_dir / "db.filter")
+            self.filter_type = "bloom"
+        elif filter_type == "kmer_direct" and (db_dir / "db.kdx.npz").exists():
+            self.filter = DirectKmerFilter.load(db_dir / "db.kdx")
+            self.filter_type = "kmer_direct"
+        if self.filter is not None:
+            sh = NamedSharding(self.mesh, P())
+            w = np.asarray(self.filter.words)
+            self.filter_words = jax.make_array_from_process_local_data(
+                sh, w, w.shape)
+            self.k, self.n_hashes = self.filter.k, self.filter.n_hashes
+        else:
+            sh = NamedSharding(self.mesh, P())
+            self.filter_words = jax.make_array_from_process_local_data(
+                sh, np.zeros((1, 2), np.uint32), (1, 2))
+            self.k = self.n_hashes = 0
+        self._steps: dict = {}
+        self._bin_mappers: dict = {}
+
+    # --- step construction -------------------------------------------------
+
+    def _r_cap(self, half_loc: int) -> int:
+        if self.r_cap_arg is not None:
+            return min(self.r_cap_arg, half_loc)
+        if self.filter is None:
+            return half_loc
+        return max(64, min(half_loc, (4 * half_loc + self.B - 1) // self.B))
+
+    def _step(self, half_loc, L, r_cap, rate_ppm, max_err, max_slen):
+        key = (half_loc, L, r_cap, rate_ppm, max_err)
+        if key not in self._steps:
+            self._steps[key] = build_mesh_dream_step(
+                self.mesh, half_loc=half_loc, L=L, B=self.B, r_cap=r_cap,
+                rate_ppm=rate_ppm, max_errors=max_err, capacity=8,
+                max_slen=max_slen, prefix_q=self.prefix_q, sample_rate=1,
+                use_pallas=self.use_pallas, k=self.k, n_hashes=self.n_hashes,
+                use_filter=self.filter is not None)
+        return self._steps[key]
+
+    def _bin_mapper(self, b: int):
+        if b not in self._bin_mappers:
+            from ..pipeline.mapper import BinMapper
+            self._bin_mappers[b] = BinMapper(self.stores[b], self.fms[b],
+                                             self.opts)
+        return self._bin_mappers[b]
+
+    # --- mapping -----------------------------------------------------------
+
+    def map_batch(self, batch: ReadBatch,
+                  timers: StageTimers | None = None) -> Matches:
+        """Global int64-coordinate matches, identical on every host."""
+        timers = timers or StageTimers()
+        opts = self.opts
+        n = batch.n_reads
+        L = batch.max_len
+        rate_ppm = rate_to_ppm(opts.error_rate)
+        max_err = max(1, max_errors_for_batch(L, opts.error_rate))
+        max_slen = max_seed_len_static(L, rate_ppm)
+
+        blob, half_loc = pack_batch_blob(batch.seqs[:n], batch.lengths,
+                                         self.data_ax, L)
+        r_cap = self._r_cap(half_loc)
+        step = self._step(half_loc, L, r_cap, rate_ppm, max_err, max_slen)
+
+        sh = NamedSharding(self.mesh, P("data"))
+        blob_g = jax.make_array_from_process_local_data(sh, blob, blob.shape)
+        with timers.stage("mesh map (device)"):
+            out = step(self.fmset, self.filter_words, blob_g)
+            # each host needs only ITS bins' output shards (bin axis is
+            # laid out across processes) + the replicated routing bits —
+            # no cross-host transfer of raw match buffers
+            from jax.experimental import multihost_utils as mh
+            specs = MeshMapOut(
+                begin=P("bin", "data"), end=P("bin", "data"),
+                meta=P("bin", "data"), overflow_total=P("bin", "data"),
+                n_spilled=P("bin", "data"), route_overflow=P("bin", "data"),
+                route_words=P("data"))
+            out = MeshMapOut(*(np.asarray(
+                mh.global_array_to_host_local_array(x, self.mesh, sp))
+                for x, sp in zip(out, specs)))
+
+        routing = decode_routing(out.route_words, n, self.B)
+        D, cap2v = self.data_ax, 2 * r_cap
+        local_parts: list[Matches] = []
+        sens = opts.sensitivity
+        for b in self.my_bins:
+            bl = b - self.pid * self.B_loc          # local row in our shard
+            off = int(self.contigs.bin_starts[b])
+            ids_b = np.flatnonzero(routing[:, b])
+            if len(ids_b) == 0:
+                continue
+            bad = (int(out.n_spilled[bl].sum()) > 0
+                   or int(out.route_overflow[bl].sum()) > 0
+                   or (int(out.overflow_total[bl].sum()) > 0 and sens != "low"))
+            if bad:
+                # the owning host re-maps on its single-chip path
+                with timers.stage("mesh overflow fallback (host)"):
+                    bm = self._bin_mapper(b)
+                    m = bm.map_batch(_sub_batch(batch, ids_b))
+                    m.begin += off
+                    m.end += off
+                    m.read_id = ids_b[m.read_id].astype(np.int32)
+                    local_parts.append(m)
+                continue
+            with timers.stage("mesh collect (host)"):
+                for d in range(D):
+                    meta = out.meta[bl, d * cap2v : (d + 1) * cap2v]
+                    ok = (meta.view(np.uint32) >> 31) > 0
+                    if not ok.any():
+                        continue
+                    meta = meta[ok]
+                    subrow = (meta & META_ROW_MASK).astype(np.int64)
+                    dist = ((meta >> 18) & 31).astype(np.int32)
+                    begin = out.begin[bl, d * cap2v : (d + 1) * cap2v][ok]
+                    end = out.end[bl, d * cap2v : (d + 1) * cap2v][ok]
+                    slot = subrow % r_cap
+                    strand = (subrow // r_cap).astype(np.int8)
+                    lo_ids = ids_b[(ids_b >= d * half_loc)
+                                   & (ids_b < (d + 1) * half_loc)]
+                    read_id = lo_ids[slot]
+                    local_parts.append(Matches(
+                        read_id=read_id.astype(np.int32), strand=strand,
+                        begin=begin.astype(np.int64) + off,
+                        end=end.astype(np.int64) + off,
+                        dist=dist))
+        with timers.stage("cross-host merge"):
+            return allgather_matches(Matches.concat(local_parts))
+
+    # --- finishing (replicated ranking, owner-computed CIGARs) -------------
+
+    def map_sam(self, batch: ReadBatch, cmdline: str = "",
+                timers: StageTimers | None = None, header: bool = True,
+                stats: dict | None = None) -> str | None:
+        """Full pipeline; returns SAM text on process 0, None elsewhere."""
+        from ..pipeline.cigar import compute_cigars
+        from ..pipeline.pairs import select_pairs
+        from ..pipeline.writer import (sam_header, write_pe_records,
+                                       write_se_records)
+
+        timers = timers or StageTimers()
+        opts = self.opts
+        m = self.map_batch(batch, timers)
+        rate_ppm = rate_to_ppm(opts.error_rate)
+        max_err = max(1, max_errors_for_batch(batch.max_len, opts.error_rate))
+
+        def finish(mm: Matches):
+            ok = self.contigs.same_contig_span(mm.begin, mm.end)
+            return rank_matches(dedup_matches(mm.take(ok)), batch.n_reads,
+                                strata_count=opts.strata_count)
+
+        with timers.stage("rank/dedup (host)"):
+            ranked = finish(m)
+        if batch.paired and opts.rescue:
+            with timers.stage("mate rescue (multi-host)"):
+                rescued = self._rescue_multihost(batch, ranked, max_err,
+                                                 rate_ppm)
+                if len(rescued):
+                    ranked = finish(Matches.concat([m, rescued]))
+
+        with timers.stage("cigar (owner hosts)"):
+            cigars = self._cigars_multihost(batch, ranked, max_err)
+
+        pair_info = None
+        with timers.stage("sam write (host 0)"):
+            if batch.paired:
+                pair_info = select_pairs(ranked, batch.n_reads, self.contigs,
+                                         opts.library_length,
+                                         opts.library_deviation)
+            if jax.process_index() != 0:
+                return None
+            lines = sam_header(self.contigs, cmdline) if header else []
+            if batch.paired:
+                lines += write_pe_records(batch, self.contigs, ranked, cigars,
+                                          pair_info,
+                                          secondary_mode=opts.secondary_matches)
+            else:
+                lines += write_se_records(batch, self.contigs, ranked, cigars,
+                                          secondary_mode=opts.secondary_matches)
+        if stats is not None:
+            stats["reads"] = stats.get("reads", 0) + batch.n_reads
+            stats["mapped"] = stats.get("mapped", 0) + int((ranked.c1 > 0).sum())
+        return "\n".join(lines) + "\n"
+
+    def _bin_of(self, gpos: np.ndarray) -> np.ndarray:
+        b = np.searchsorted(self.contigs.bin_starts, gpos, side="right") - 1
+        return np.clip(b, 0, self.B - 1)
+
+    def _rescue_multihost(self, batch, ranked, max_err, rate_ppm) -> Matches:
+        """Each host verifies the rescue anchors that land in ITS bins;
+        results merge with an allgather (same candidate set everywhere, so
+        the merged result is deterministic)."""
+        from ..pipeline.map_step import verify_positions
+        from ..pipeline.mapper import FALLBACK_PAD
+        from ..pipeline.matches import build_matches
+        from ..pipeline.pairs import rescue_candidates
+
+        opts = self.opts
+        cands = rescue_candidates(ranked, batch.n_reads, batch.lengths,
+                                  opts.library_length, opts.library_deviation,
+                                  band=max_err)
+        parts: list[Matches] = []
+        if len(cands.rows):
+            bin_of = self._bin_of(cands.anchors)
+            n = batch.n_reads
+            reads_j = jnp.asarray(batch.seqs)
+            lens_j = jnp.asarray(batch.lengths)
+            for b in np.unique(bin_of):
+                if int(b) not in self.stores:
+                    continue
+                sel = bin_of == b
+                rows = cands.rows[sel]
+                anchors = (cands.anchors[sel]
+                           - int(self.contigs.bin_starts[b])).astype(np.int32)
+                bm = self._bin_mapper(int(b))
+                off = int(self.contigs.bin_starts[b])
+                for b0 in range(0, len(rows), FALLBACK_PAD):
+                    rb = rows[b0 : b0 + FALLBACK_PAD]
+                    ab = anchors[b0 : b0 + FALLBACK_PAD]
+                    padn = FALLBACK_PAD - len(rb)
+                    mask = np.concatenate([np.ones(len(rb), bool),
+                                           np.zeros(padn, bool)])
+                    rb = np.concatenate([rb, np.zeros(padn, np.int32)])
+                    ab = np.concatenate([ab, np.zeros(padn, np.int32)])
+                    dist, beg, end = verify_positions(
+                        bm.dev, reads_j, lens_j, jnp.asarray(rb),
+                        jnp.asarray(ab), jnp.asarray(mask), max_errors=max_err)
+                    dist = np.asarray(dist)
+                    beg, end = np.asarray(beg), np.asarray(end)
+                    budget = (batch.lengths[rb % n] * rate_ppm) // 10_000
+                    okm = mask & (dist <= budget) & (beg >= 0) & (end <= bm.fm.n)
+                    mm = build_matches(rb, beg, end, dist, okm, n_reads=n)
+                    mm.begin += off
+                    mm.end += off
+                    parts.append(mm)
+        return allgather_matches(Matches.concat(parts))
+
+    def _cigars_multihost(self, batch, ranked, max_err) -> list[str]:
+        """CIGARs need the bin text: computed by each bin's owner, merged by
+        (match-row-index, packed string) allgather."""
+        from ..pipeline.cigar import compute_cigars
+
+        mm = ranked.matches
+        bin_of = self._bin_of(mm.begin)
+        idx_l, cig_l = [], []
+        for b in self.my_bins:
+            sel = np.flatnonzero(bin_of == b)
+            if len(sel) == 0:
+                continue
+            st = self.stores[b]
+            off = int(self.contigs.bin_starts[b])
+            rows = (mm.read_id[sel]
+                    + mm.strand[sel].astype(np.int32) * batch.n_reads)
+            cigs = compute_cigars(st.text, batch.seqs, rows,
+                                  batch.lengths[mm.read_id[sel]],
+                                  mm.begin[sel] - off, mm.end[sel] - off,
+                                  max_err, dists=mm.dist[sel])
+            idx_l.append(sel.astype(np.int64))
+            cig_l.extend(cigs)
+        idx = (np.concatenate(idx_l) if idx_l
+               else np.zeros(0, dtype=np.int64))
+        # pack strings: lengths + byte stream, both allgathered
+        lens = np.array([len(c) for c in cig_l], dtype=np.int64)
+        blob = np.frombuffer("".join(cig_l).encode(), dtype=np.uint8)
+        g_idx = _allgather_concat(idx)
+        g_lens = _allgather_concat(lens)
+        g_blob = _allgather_concat(blob)
+        cigars = [""] * len(mm)
+        pos = 0
+        for i, l in zip(g_idx, g_lens):
+            cigars[int(i)] = g_blob[pos : pos + int(l)].tobytes().decode()
+            pos += int(l)
+        return cigars
