@@ -329,22 +329,28 @@ def verify_candidates(fm: DeviceFM, reads, lengths, vrow, vanch, keep,
 
 @functools.partial(
     jax.jit, static_argnames=("rate_ppm", "max_errors", "capacity",
-                              "max_slen_rep", "verify_capacity", "use_pallas"))
+                              "max_slen_rep", "verify_capacity", "use_pallas",
+                              "budget", "indels"))
 def repetitive_map_step(fm: DeviceFM, reads: jnp.ndarray, lengths: jnp.ndarray,
                         rep_rows: jnp.ndarray, rep_mask: jnp.ndarray,
                         *, rate_ppm: int, max_errors: int, capacity: int,
                         max_slen_rep: int, verify_capacity: int = 8,
-                        use_pallas: bool = False):
-    """Re-seed repetitive rows with fewer/longer Hamming<=1 seeds.
+                        use_pallas: bool = False, budget: int = 1,
+                        indels: bool = False):
+    """Re-seed repetitive rows with fewer/longer approximate seeds.
 
-    The classifier path (reference mapper_classifier.h + findSeeds<1> [U]):
-    rows whose exact seeds overflowed hit capacity get s' = ceil((E+1)/2)
-    seeds of length l // s', searched with up to one substitution
-    (ops/approx_search.py). rep_rows: (K,) seq-row ids; rep_mask: (K,) bool.
+    The classifier path (reference mapper_classifier.h + findSeeds<1|2>
+    [U]): rows whose exact seeds overflowed capacity get
+    s' = ceil((E+1)/(budget+1)) seeds of length l // s', searched with up
+    to `budget` edits via dense layout enumeration
+    (ops/approx_search.seed_search_edits); pigeonhole keeps the stratum
+    covered (s' seeds x (budget+1) > E). `indels` additionally enumerates
+    one-indel layouts (beyond reference Hamming parity).
 
-    Returns (row, begin, end, dist, ok): (K*verify_capacity,) arrays.
+    rep_rows: (K,) seq-row ids; rep_mask: (K,) bool.
+    Returns (row, begin, end, dist, ok, n_spilled).
     """
-    from ..ops.approx_search import seed_search_1sub
+    from ..ops.approx_search import seed_search_edits
 
     K = rep_rows.shape[0]
     n_reads = lengths.shape[0]
@@ -352,8 +358,8 @@ def repetitive_map_step(fm: DeviceFM, reads: jnp.ndarray, lengths: jnp.ndarray,
     l = jnp.take(lengths, rep_rows % n_reads).astype(jnp.int32)
     l = jnp.where(rep_mask, l, 0)
     e = errors_for(l, rate_ppm).astype(jnp.int32)
-    ns2 = (e + 2) // 2                                   # ceil((E+1)/2)
-    ns2_max = (max_errors + 2) // 2
+    ns2 = (e + budget + 1) // (budget + 1)          # ceil((E+1)/(budget+1))
+    ns2_max = (max_errors + budget + 1) // (budget + 1)
 
     rows_s = jnp.repeat(rep_rows, ns2_max)
     sidx = jnp.tile(jnp.arange(ns2_max, dtype=jnp.int32), K)
@@ -364,20 +370,21 @@ def repetitive_map_step(fm: DeviceFM, reads: jnp.ndarray, lengths: jnp.ndarray,
     starts = sidx * slen
     slens = jnp.where(valid_s, slen, 0)
 
-    t_lo, t_hi, b_lo, b_hi, b_valid = seed_search_1sub(
+    lo, hi, lvalid, w_start = seed_search_edits(
         fm.bwt_blocks, fm.occ, fm.counts, fm.n, reads,
-        rows_s, starts, slens, max_slen_rep)
+        rows_s, starts, slens, max_slen_rep, budget=budget, indels=indels,
+        fused=fm.fused)
+    hi = jnp.where(lvalid, hi, lo)
 
     S = rows_s.shape[0]
-    NB = b_lo.shape[1]
-    all_lo = jnp.concatenate([t_lo[:, None], b_lo], axis=1).reshape(-1)
-    all_hi = jnp.concatenate([t_hi[:, None], b_hi], axis=1).reshape(-1)
-    pos, hmask, _ov = gather_hits(fm.sa, all_lo, all_hi, capacity)
+    NL = lo.shape[1]
+    pos, hmask, _ov = gather_hits(fm.sa, lo.reshape(-1), hi.reshape(-1),
+                                  capacity)
 
-    # anchors: substitution branches keep the diagonal
-    starts_b = jnp.repeat(starts, NB + 1)
-    A = pos - starts_b[:, None]                               # (S*(NB+1), cap)
-    slots = ns2_max * (NB + 1) * capacity
+    # anchor = window begin in text; indel layouts shift the window END by
+    # +-1, absorbed by the verifier's band
+    A = pos - jnp.repeat(w_start, NL)[:, None]                # (S*NL, cap)
+    slots = ns2_max * NL * capacity
     A = A.reshape(K, slots)
     V = hmask.reshape(K, slots)
     vrow, vanch, keep, n_spilled = dedup_compact(

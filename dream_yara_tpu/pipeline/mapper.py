@@ -165,11 +165,15 @@ class BinMapper:
 
     REP_PAD = 1024  # fixed row-group shape for the repetitive re-seed step
 
+    REP2_T = 20  # stratum-2 truncation: 9*C(t,2) layouts must stay affordable
+
     def _repetitive_pass(self, out: MapStepOut, reads_c, lens_c, ids, half, n,
                          max_err, rate_ppm) -> Matches:
         """Device re-seed of rows whose exact seeds overflowed (sensitivity
-        high/low). Substitution-only seeds: see docs/OUTPUT_CONTRACT.md for
-        the documented sensitivity difference vs 'full'."""
+        high/low). Stratum 1: ceil((E+1)/2) long seeds with <=1 edit
+        (substitutions; +indels when -i on). Stratum 2 (reference
+        findSeeds<2> analog): rows STILL without a match after stratum 1
+        get ceil((E+1)/3) seeds searched with <=2 substitutions."""
         from .map_step import max_rep_seed_len_static, repetitive_map_step
 
         ns = max_err + 1
@@ -180,21 +184,37 @@ class BinMapper:
         if len(rep_rows) == 0:
             return Matches.concat([])
         msl = max_rep_seed_len_static(reads_c.shape[1], rate_ppm)
-        parts = []
         reads_j = jnp.asarray(reads_c)
         lens_j = jnp.asarray(lens_c)
-        for b0 in range(0, len(rep_rows), self.REP_PAD):
-            rb = rep_rows[b0 : b0 + self.REP_PAD]
-            padn = self.REP_PAD - len(rb)
-            mask = np.concatenate([np.ones(len(rb), bool), np.zeros(padn, bool)])
-            rb = np.concatenate([rb, np.zeros(padn, np.int32)])
-            row, beg, end, dist, ok, _sp = repetitive_map_step(
-                self.dev, reads_j, lens_j, jnp.asarray(rb), jnp.asarray(mask),
-                rate_ppm=rate_ppm, max_errors=max_err, capacity=4,
-                max_slen_rep=msl, use_pallas=self.use_pallas)
-            m = build_matches(np.asarray(row), np.asarray(beg), np.asarray(end),
-                              np.asarray(dist), np.asarray(ok), n_reads=half)
-            parts.append(self._remap_chunk(m, ids, half, n))
+
+        def run(rows_np, budget, indels, t_max):
+            parts, matched = [], np.zeros(0, dtype=np.int64)
+            for b0 in range(0, len(rows_np), self.REP_PAD):
+                rb = rows_np[b0 : b0 + self.REP_PAD]
+                padn = self.REP_PAD - len(rb)
+                mask = np.concatenate([np.ones(len(rb), bool),
+                                       np.zeros(padn, bool)])
+                rb = np.concatenate([rb, np.zeros(padn, np.int32)])
+                row, beg, end, dist, ok, _sp = repetitive_map_step(
+                    self.dev, reads_j, lens_j, jnp.asarray(rb),
+                    jnp.asarray(mask), rate_ppm=rate_ppm, max_errors=max_err,
+                    capacity=4, max_slen_rep=t_max,
+                    use_pallas=self.use_pallas, budget=budget, indels=indels)
+                row, ok = np.asarray(row), np.asarray(ok)
+                matched = np.union1d(matched, row[ok])
+                m = build_matches(row, np.asarray(beg), np.asarray(end),
+                                  np.asarray(dist), ok, n_reads=half)
+                parts.append(self._remap_chunk(m, ids, half, n))
+            return parts, matched
+
+        parts, matched = run(rep_rows, budget=1, indels=self.opts.indels,
+                             t_max=msl)
+        # stratum 2: rows the 1-edit stratum could not place at all
+        rows2 = np.setdiff1d(rep_rows, matched).astype(np.int32)
+        if len(rows2):
+            p2, _ = run(rows2, budget=2, indels=False,
+                        t_max=min(msl, self.REP2_T))
+            parts += p2
         return Matches.concat(parts)
 
     def _overflow_pass(self, out: MapStepOut, reads_c, lens_c, ids, half, n,

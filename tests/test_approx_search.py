@@ -1,73 +1,125 @@
-"""Hamming<=1 seed search vs brute-force oracle."""
+"""Edit-layout seed search vs brute-force / scalar-DP oracles."""
 
 import numpy as np
 
 import jax.numpy as jnp
 
 from dream_yara_tpu.index.fmindex import FMIndex
-from dream_yara_tpu.ops.approx_search import seed_search_1sub
 from dream_yara_tpu.ops.device_index import DeviceFM
 from tests.conftest import random_text
 
 
-def brute_occurrences_ham1(text, seed):
-    """All (pos) where text[pos:pos+len] is within Hamming distance 1 of seed."""
+# --- generalized edit-layout search (findSeeds<1|2> analog) ---------------
+
+def _edit_at_most(seed, text, pos, budget):
+    """Scalar oracle: some text substring starting at pos is within edit
+    distance <= budget of seed."""
+    m = len(seed)
+    best = budget + 1
+    for l in range(max(0, m - budget), m + budget + 1):
+        w = text[pos : pos + l]
+        if len(w) < l:
+            continue
+        D = np.zeros((m + 1, l + 1), dtype=np.int32)
+        D[:, 0] = np.arange(m + 1)
+        D[0, :] = np.arange(l + 1)
+        for i in range(1, m + 1):
+            for j in range(1, l + 1):
+                sub = 0 if (seed[i - 1] == w[j - 1] and seed[i - 1] < 4
+                            and w[j - 1] < 4) else 1
+                D[i, j] = min(D[i - 1, j - 1] + sub, D[i - 1, j] + 1,
+                              D[i, j - 1] + 1)
+        best = min(best, D[m, l])
+    return best <= budget
+
+
+def _layout_positions(dev, fm, reads, budget, indels):
+    from dream_yara_tpu.ops.approx_search import seed_search_edits
+
+    S, L = reads.shape
+    rows = np.arange(S, dtype=np.int32)
+    starts = np.zeros(S, dtype=np.int32)
+    slens = np.full(S, L, dtype=np.int32)
+    lo, hi, val, w_start = seed_search_edits(
+        dev.bwt_blocks, dev.occ, dev.counts, dev.n,
+        jnp.asarray(reads), jnp.asarray(rows), jnp.asarray(starts),
+        jnp.asarray(slens), L, budget=budget, indels=indels)
+    lo, hi, val = np.asarray(lo), np.asarray(hi), np.asarray(val)
+    found = [set() for _ in range(S)]
+    for s in range(S):
+        for w in np.flatnonzero(val[s]):
+            for r in range(lo[s, w], hi[s, w]):
+                found[s].add(int(fm.sa[r]))
+    return found
+
+
+def test_layouts_2sub_complete_vs_bruteforce(rng):
+    """Budget-2 layout search finds EVERY Hamming<=2 occurrence."""
+    text = random_text(rng, 1500)
+    text[-1] = 5
+    fm = FMIndex.build(text)
+    dev = DeviceFM.from_host(fm, text)
+    L = 14
+    S = 8
+    reads = np.zeros((S, L), dtype=np.int8)
+    for i in range(S):
+        p = int(rng.integers(0, 1400))
+        r = text[p : p + L].copy()
+        for _ in range(2):
+            j = int(rng.integers(0, L))
+            r[j] = (r[j] + int(rng.integers(1, 4))) % 4
+        reads[i] = r
+    found = _layout_positions(dev, fm, reads, budget=2, indels=False)
     t = np.asarray(text)
-    L = len(seed)
-    out = []
-    for p in range(len(t) - L + 1):
-        w = t[p : p + L]
-        mism = ((w != seed) | (w >= 4) | (seed >= 4)).sum()
-        if mism <= 1:
-            out.append(p)
-    return sorted(out)
+    for i in range(S):
+        want = {p for p in range(len(t) - L + 1)
+                if ((t[p : p + L] != reads[i]) | (t[p : p + L] >= 4)
+                    | (reads[i] >= 4)).sum() <= 2}
+        assert want <= found[i], f"seed {i}: missed {want - found[i]}"
 
 
-def test_1sub_search_complete(rng):
+def test_layouts_1indel_finds_planted(rng):
     text = random_text(rng, 3000)
     text[-1] = 5
     fm = FMIndex.build(text)
     dev = DeviceFM.from_host(fm, text)
-
-    L = 20
-    n_seeds = 12
-    reads = np.zeros((n_seeds, L), dtype=np.int8)
-    for i in range(n_seeds):
+    L = 24
+    S = 10
+    reads = np.zeros((S, L), dtype=np.int8)
+    truth = []
+    for i in range(S):
         p = int(rng.integers(0, 2900))
-        reads[i] = text[p : p + L]
-    rows = np.arange(n_seeds, dtype=np.int32)
-    starts = np.zeros(n_seeds, dtype=np.int32)
-    slens = np.full(n_seeds, L, dtype=np.int32)
-
-    t_lo, t_hi, b_lo, b_hi, b_valid = seed_search_1sub(
-        dev.bwt_blocks, dev.occ, dev.counts, dev.n,
-        jnp.asarray(reads), jnp.asarray(rows), jnp.asarray(starts),
-        jnp.asarray(slens), max_slen=L)
-
-    sa = fm.sa
-    for s in range(n_seeds):
-        got = set()
-        for r in range(int(t_lo[s]), int(t_hi[s])):
-            got.add(int(sa[r]))
-        for b in range(L * 3):
-            if bool(b_valid[s, b]):
-                for r in range(int(b_lo[s, b]), int(b_hi[s, b])):
-                    got.add(int(sa[r]))
-        want = set(brute_occurrences_ham1(text, reads[s]))
-        assert got == want, f"seed {s}: missing {want - got}, extra {got - want}"
+        w = list(text[p : p + L + 1])
+        if i % 2:
+            del w[int(rng.integers(1, L - 1))]     # deletion in read
+        else:
+            w.insert(int(rng.integers(1, L - 1)),  # insertion in read
+                     int(rng.integers(0, 4)))
+        reads[i] = np.array(w[:L], dtype=np.int8)
+        truth.append(p)
+    found = _layout_positions(dev, fm, reads, budget=1, indels=True)
+    for i, p in enumerate(truth):
+        assert p in found[i], f"seed {i}: planted 1-indel occurrence missed"
 
 
-def test_1sub_invalid_seed(rng):
-    text = random_text(rng, 500)
+def test_layouts_sound_vs_edit_oracle(rng):
+    """Every reported position is genuinely within the edit budget."""
+    text = random_text(rng, 800)
+    text[-1] = 5
     fm = FMIndex.build(text)
     dev = DeviceFM.from_host(fm, text)
-    reads = np.zeros((2, 10), dtype=np.int8)
-    reads[1, 3] = 4  # N in seed: branches at that position invalid
-    t_lo, t_hi, b_lo, b_hi, b_valid = seed_search_1sub(
-        dev.bwt_blocks, dev.occ, dev.counts, dev.n,
-        jnp.asarray(reads), jnp.asarray(np.array([0, 1], np.int32)),
-        jnp.asarray(np.zeros(2, np.int32)),
-        jnp.asarray(np.array([10, 0], np.int32)), max_slen=10)
-    # seed 1 has slen 0 -> everything empty/invalid
-    assert int(t_hi[1] - t_lo[1]) == 0
-    assert not bool(np.asarray(b_valid)[1].any())
+    L = 12
+    S = 6
+    reads = np.zeros((S, L), dtype=np.int8)
+    for i in range(S):
+        p = int(rng.integers(0, 700))
+        r = text[p : p + L].copy()
+        r[int(rng.integers(0, L))] = (r[0] + 1) % 4
+        reads[i] = r
+    t = np.asarray(text)
+    for budget, indels in [(1, False), (2, False), (1, True), (2, True)]:
+        found = _layout_positions(dev, fm, reads, budget, indels)
+        for i in range(S):
+            for p in found[i]:
+                assert _edit_at_most(reads[i], t, p, budget), \
+                    (i, p, budget, indels)
