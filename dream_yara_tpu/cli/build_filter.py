@@ -29,6 +29,10 @@ def main(argv=None):
                    help="filter size in BITS, e.g. 1g, 512m (bloom only)")
     p.add_argument("-k", "--kmer-size", type=int, default=19)
     p.add_argument("-nh", "--num-hashes", type=int, default=3)
+    p.add_argument("-w", "--window-size", type=int, default=0,
+                   help="minimizer window (> kmer-size enables winnowing: "
+                        "~(w-k)/2x smaller filter load; routing threshold "
+                        "becomes probabilistic — see docs)")
     p.add_argument("-t", "--threads", type=int, default=1)
     p.add_argument("-v", "--verbose", action="count", default=0)
     a = p.parse_args(argv)
@@ -46,18 +50,38 @@ def main(argv=None):
     if a.filter_type == "bloom":
         filt = InterleavedBloomFilter.create(
             bins=len(paths), size_bits=parse_size(a.bloom_size),
-            n_hashes=a.num_hashes, k=a.kmer_size)
+            n_hashes=a.num_hashes, k=a.kmer_size, window=a.window_size)
         out_name = "db.filter"
     else:
         filt = DirectKmerFilter.create(bins=len(paths), k=a.kmer_size)
         out_name = "db.kdx"
 
-    for b, fasta in enumerate(paths):
+    def load_bin(b_fasta):
+        b, fasta = b_fasta
         _, seqs = read_fasta(fasta)
-        for s in seqs:
-            filt.add_kmers(s, b)
-        if a.verbose:
-            print(f"[build-filter] bin {b}: {len(seqs)} contigs", file=sys.stderr)
+        return b, seqs
+
+    if a.threads > 1:
+        # parallel fasta parse + k-mer hashing across bins (reference
+        # OpenMP loop over bins, SURVEY.md §3.3); the shared-word scatter
+        # itself stays sequential (bins in one 32-bin word share uint32s)
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=a.threads) as ex:
+            for b, seqs in ex.map(load_bin, enumerate(paths)):
+                for s in seqs:
+                    filt.add_kmers(s, b)
+                if a.verbose:
+                    print(f"[build-filter] bin {b}: {len(seqs)} contigs",
+                          file=sys.stderr)
+    else:
+        for b, fasta in enumerate(paths):
+            _, seqs = read_fasta(fasta)
+            for s in seqs:
+                filt.add_kmers(s, b)
+            if a.verbose:
+                print(f"[build-filter] bin {b}: {len(seqs)} contigs",
+                      file=sys.stderr)
 
     db_dir = Path(a.output_dir)
     db_dir.mkdir(parents=True, exist_ok=True)

@@ -46,3 +46,27 @@ def cli_guard(main_fn):
             sys.exit(130)
 
     return wrapper
+
+
+class _SamOut:
+    def __init__(self, f, close):
+        self.f, self._close = f, close
+
+    def write_sam(self, text: str):
+        self.f.write(text)
+
+    def close(self):
+        if self._close:
+            self.f.close()
+
+
+def open_output(path: str):
+    """SAM text to stdout/file, or BAM/BGZF when the path ends with .bam
+    (reference BamFileOut chooses the format by extension [U])."""
+    if path in ("-", ""):
+        return _SamOut(sys.stdout, close=False)
+    if path.endswith(".bam"):
+        from ..io.bam import BamWriter
+
+        return BamWriter(open(path, "wb"))
+    return _SamOut(open(path, "w"), close=True)

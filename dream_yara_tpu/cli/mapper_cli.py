@@ -89,9 +89,10 @@ def main(argv=None):
 
         mh = MultiHostDreamMapper(a.db_dir, opts, filter_type=a.filter_type)
         timers.add("load index (bin shard)", time.time() - t0)
+        from .common import open_output
+
         reader = FastqBatchReader(a.reads, a.reads2, batch_size=a.reads_batch)
-        out = (sys.stdout if a.output_file in ("-", "")
-               else open(a.output_file, "w"))
+        out = open_output(a.output_file)
         stats = {}
         header = True
         t0 = time.time()
@@ -100,9 +101,8 @@ def main(argv=None):
                              timers=timers, header=header, stats=stats)
             header = False
             if sam is not None:
-                out.write(sam)
-        if out is not sys.stdout:
-            out.close()
+                out.write_sam(sam)
+        out.close()
         dt = time.time() - t0
         n_reads = stats.get("reads", 0)
         print(f"[mapper p{a.process_id}] {n_reads} reads in {dt:.1f}s "
@@ -118,19 +118,19 @@ def main(argv=None):
 
         from ..parallel.dream_mesh import MeshDreamMapper, mesh_dream_sam
 
+        from .common import open_output
+
         mm = MeshDreamMapper(index, opts)
         reader = FastqBatchReader(a.reads, a.reads2, batch_size=a.reads_batch)
-        out = (sys.stdout if a.output_file in ("-", "")
-               else open(a.output_file, "w"))
+        out = open_output(a.output_file)
         stats = {}
         header = True
         t0 = time.time()
         for batch in reader:
-            out.write(mesh_dream_sam(mm, batch, timers=timers, header=header,
-                                     stats=stats))
+            out.write_sam(mesh_dream_sam(mm, batch, timers=timers,
+                                         header=header, stats=stats))
             header = False
-        if out is not sys.stdout:
-            out.close()
+        out.close()
         dt = time.time() - t0
         n_reads = stats.get("reads", 0)
         print(f"[mapper mesh={dict(mm.mesh.shape)}] {n_reads} reads in "
@@ -140,8 +140,9 @@ def main(argv=None):
             print(timers.report(), file=sys.stderr)
         return
 
-    out = (sys.stdout if a.output_file in ("-", "")
-           else open(a.output_file, "w"))
+    from .common import open_output
+
+    out = open_output(a.output_file)
     reader = FastqBatchReader(a.reads, a.reads2, batch_size=a.reads_batch)
     n_reads = 0
     stats: dict = {}
@@ -158,15 +159,14 @@ def main(argv=None):
         for i, sam in enumerate(dream_map_stream(
                 index, counted(), opts, cmdline=cmdline, timers=timers,
                 stats=stats)):
-            out.write(sam)
+            out.write_sam(sam)
             n_reads = stats.get("reads", 0)
             if a.verbose:
                 print(f"[mapper] batch {i} done "
                       f"({n_reads / (time.time() - t0):.0f} reads/s cum)",
                       file=sys.stderr)
     finally:
-        if out is not sys.stdout:
-            out.close()
+        out.close()
     dt = time.time() - t0
     # final stats block (reference appendStats / --verbose report [U])
     mapped = stats.get("mapped", 0)

@@ -72,3 +72,35 @@ def ibf_rows(lo: np.ndarray, hi: np.ndarray, n_hashes: int, n_rows: int) -> np.n
     v = fmix32(mix[:, None] ^ seeds[None, :])
     v = (v & np.uint32(0x7FFFFFFF)).astype(np.int64)
     return v % np.int64(n_rows)
+
+
+def minimizer_select(lo: np.ndarray, hi: np.ndarray, valid: np.ndarray,
+                     w: int, k: int) -> np.ndarray:
+    """Winnowing selection mask over the k-mer windows of one sequence.
+
+    A k-mer is selected iff it is the minimizer (smallest fmix32 mix key,
+    leftmost on ties) of at least one length-w window (w >= k; w == k
+    selects everything). Invalid k-mers (N/sentinel) never win. The device
+    classifier (ops/ibf_query.py) reproduces this selection bit-for-bit.
+    """
+    m = len(lo)
+    W0 = w - k + 1
+    if W0 <= 1 or m == 0:
+        return valid.copy()
+    key = fmix32((lo ^ (hi * MIX_MULT)).astype(np.uint32)).astype(np.uint64)
+    key = np.where(valid, key, np.uint64(0xFFFFFFFF))
+    # augment with position for a strict leftmost tie-break
+    aug = (key << np.uint64(32)) | np.arange(m, dtype=np.uint64)
+    n_win = m - W0 + 1
+    if n_win <= 0:
+        # sequence shorter than one full window: single window over all
+        sel = np.zeros(m, dtype=bool)
+        if valid.any():
+            sel[int(np.argmin(aug))] = True
+        return sel & valid
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    argm = np.argmin(sliding_window_view(aug, W0), axis=1)
+    sel = np.zeros(m, dtype=bool)
+    sel[argm + np.arange(n_win)] = True
+    return sel & valid

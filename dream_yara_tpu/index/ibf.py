@@ -35,23 +35,38 @@ class InterleavedBloomFilter:
     n_hashes: int
     k: int
     words: np.ndarray  # (n_rows, bins_padded // 32) uint32
+    window: int = 0    # minimizer window w (> k enables winnowing; 0/k = all
+                       # k-mers). Reference build_filter's optional minimizer
+                       # mode [U,M]: both build AND query select minimizers
+                       # with the same rule, so membership tests line up.
+
+    def __post_init__(self):
+        if self.window < self.k:
+            self.window = self.k
 
     @property
     def bins_padded(self) -> int:
         return self.words.shape[1] * 32
 
     @classmethod
-    def create(cls, bins: int, size_bits: int, n_hashes: int = 3, k: int = 19):
+    def create(cls, bins: int, size_bits: int, n_hashes: int = 3, k: int = 19,
+               window: int = 0):
         bins_padded = ((bins + 63) // 64) * 64
         n_rows = max(1, size_bits // bins_padded)
         words = np.zeros((n_rows, bins_padded // 32), dtype=np.uint32)
-        return cls(bins=bins, n_rows=n_rows, n_hashes=n_hashes, k=k, words=words)
+        return cls(bins=bins, n_rows=n_rows, n_hashes=n_hashes, k=k,
+                   words=words, window=window)
 
     # --- build / update (host, offline path) ---
 
     def add_kmers(self, codes: np.ndarray, bin_id: int):
-        """Insert all valid k-mers of one sequence into bin_id's column."""
+        """Insert the selected k-mers of one sequence into bin_id's column
+        (all valid k-mers, or only window minimizers when window > k)."""
         lo, hi, valid = kmer_windows(codes, self.k)
+        if self.window > self.k:
+            from .hashing import minimizer_select
+
+            valid = minimizer_select(lo, hi, valid, self.window, self.k)
         if not valid.any():
             return
         rows = ibf_rows(lo[valid], hi[valid], self.n_hashes, self.n_rows).reshape(-1)
@@ -74,8 +89,12 @@ class InterleavedBloomFilter:
     # --- query (host oracle; device version in ops/ibf_query.py) ---
 
     def bin_counts(self, codes: np.ndarray) -> np.ndarray:
-        """Per-bin count of k-mers of `codes` present in each bin. Shape (bins,)."""
+        """Per-bin count of (selected) k-mers of `codes` present in each bin."""
         lo, hi, valid = kmer_windows(codes, self.k)
+        if self.window > self.k:
+            from .hashing import minimizer_select
+
+            valid = minimizer_select(lo, hi, valid, self.window, self.k)
         counts = np.zeros(self.bins, dtype=np.int32)
         if not valid.any():
             return counts
@@ -98,11 +117,37 @@ class InterleavedBloomFilter:
         """k-mer lemma: t = (l - k + 1) - k*e, floored at 1."""
         return max(1, (read_len - k + 1) - k * errors)
 
+    def n_minimizers(self, codes: np.ndarray) -> int:
+        """Selected k-mer count of one sequence (for minimizer thresholds)."""
+        lo, hi, valid = kmer_windows(codes, self.k)
+        if self.window > self.k:
+            from .hashing import minimizer_select
+
+            valid = minimizer_select(lo, hi, valid, self.window, self.k)
+        return int(valid.sum())
+
+    @staticmethod
+    def minimizer_threshold(n_minis: int, k: int, w: int, errors: int) -> int:
+        """Minimizer-mode routing threshold: t = n_minis - e * D with
+        D = ceil(k / (w-k+1)) + 2 destroyed minimizers per error (an error
+        invalidates the k k-mers covering it — about k/W0 window-groups —
+        and can additionally reshuffle the selection at both flanks).
+
+        Unlike the k-mer lemma this bound is PROBABILISTIC (a pathological
+        error placement can destroy more minimizers than D — the hard
+        no-false-negative guarantee requires w == k); D covers the expected
+        case with margin, matching the practical minimizer-filter tools.
+        See docs/OUTPUT_CONTRACT.md."""
+        W0 = max(w - k + 1, 1)
+        D = -(-k // W0) + 2
+        return max(1, n_minis - errors * D)
+
     # --- serialization ---
 
     def save(self, path):
         np.savez(path, bins=self.bins, n_rows=self.n_rows,
-                 n_hashes=self.n_hashes, k=self.k, words=self.words)
+                 n_hashes=self.n_hashes, k=self.k, words=self.words,
+                 window=self.window)
 
     @classmethod
     def load(cls, path) -> "InterleavedBloomFilter":
@@ -111,4 +156,5 @@ class InterleavedBloomFilter:
             path += ".npz"
         z = np.load(path)
         return cls(bins=int(z["bins"]), n_rows=int(z["n_rows"]),
-                   n_hashes=int(z["n_hashes"]), k=int(z["k"]), words=z["words"])
+                   n_hashes=int(z["n_hashes"]), k=int(z["k"]), words=z["words"],
+                   window=int(z["window"]) if "window" in z.files else 0)

@@ -6,10 +6,20 @@ TPU-first: all reads x k-mers x hashes evaluated at once — hash arithmetic is
 uint32 VPU math (identical bit-for-bit to index/hashing.py, tested), row
 fetches are batched gathers of whole uint32 rows, bit unpack + count is a
 broadcast shift-and-mask summed over the k-mer axis.
+
+Minimizer mode (window w > k, reference build_filter's optional winnowing
+[U,M]): the same leftmost-min-key selection as the host builder picks ~2/(w-k+2)
+of the k-mers; selected k-mers are COMPACTED per read (cumsum+scatter, no
+sort) before the row gathers, cutting the gather count ~(w-k)/2-fold — the
+round-1 "IBF classify gather wall" fix. The routing threshold switches to the
+probabilistic minimizer bound (index/ibf.py minimizer_threshold).
 """
 
 from __future__ import annotations
 
+import functools
+
+import jax
 import jax.numpy as jnp
 
 from ..index.hashing import HASH_SEEDS, MIX_MULT
@@ -47,51 +57,128 @@ def kmer_windows_dev(reads: jnp.ndarray, lengths: jnp.ndarray, k: int):
     return lo, hi, no_n & pos_ok
 
 
-def ibf_bin_counts(filter_words: jnp.ndarray, reads: jnp.ndarray,
-                   lengths: jnp.ndarray, k: int, n_hashes: int) -> jnp.ndarray:
-    """Per-bin k-mer hit counts for each read row.
+def minimizer_select_dev(mix: jnp.ndarray, valid: jnp.ndarray,
+                         lengths: jnp.ndarray, w: int, k: int) -> jnp.ndarray:
+    """Device winnowing — bit-identical to index/hashing.minimizer_select.
 
-    filter_words: (n_rows, Wd) uint32; reads: (R, L) int8; returns
-    (R, Wd*32) int32 counts over padded bins.
+    mix: (R, m) uint32 pre-seed k-mer values; key = fmix32(mix); a position
+    is selected iff it is the strict leftmost minimum of some w-window of
+    the READ (rows are padded to L, so per-row window-start validity comes
+    from `lengths`; reads shorter than w get the host's single-window
+    semantics via window 0).
+    """
+    R, m = mix.shape
+    W0 = w - k + 1
+    if W0 <= 1:
+        return valid
+    key = jnp.where(valid, _fmix32(mix), jnp.uint32(0xFFFFFFFF))
+    n_win = m - W0 + 1
+    if n_win <= 0:
+        n_win = 1
+        key = jnp.pad(key, ((0, 0), (0, W0 - m)),
+                      constant_values=0xFFFFFFFF)
+    # per-read window count: length - w + 1 full windows; a shorter read
+    # keeps window 0 alone (== the host's single-window branch)
+    n_win_r = jnp.maximum(lengths - w + 1, 1)[:, None]
+    # per-window leftmost argmin (strict < keeps the leftmost tie)
+    bk = key[:, :n_win]
+    bp = jnp.broadcast_to(jnp.arange(n_win, dtype=jnp.int32)[None, :],
+                          (R, n_win))
+    for d in range(1, W0):
+        kd = key[:, d : d + n_win]
+        better = kd < bk
+        bk = jnp.where(better, kd, bk)
+        bp = jnp.where(better,
+                       jnp.arange(n_win, dtype=jnp.int32)[None, :] + d, bp)
+    # selected[pos] = exists VALID window j in [pos-W0+1, pos], argmin == pos
+    pos = jnp.arange(m, dtype=jnp.int32)[None, :]
+    sel = jnp.zeros((R, m), dtype=bool)
+    for d in range(W0):
+        jpad = jnp.pad(bp, ((0, 0), (0, max(m - n_win, 0))),
+                       constant_values=-1)[:, :m]
+        shifted = jnp.roll(jpad, d, axis=1)
+        hit = ((shifted == pos) & (pos - d >= 0)
+               & (pos - d < jnp.minimum(n_win_r, n_win)))
+        sel = sel | hit
+    return sel & valid
+
+
+def _count_rows(filter_words, rows_idx, lanes_valid, n_hashes):
+    """AND the hash rows per lane and unpack to per-bin counts."""
+    gathered = jnp.take(filter_words, rows_idx, axis=0)    # (..., h, Wd)
+    anded = gathered[..., 0, :]
+    for j in range(1, n_hashes):
+        anded = anded & gathered[..., j, :]
+    anded = jnp.where(lanes_valid[..., None], anded, jnp.uint32(0))
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    bits = ((anded[..., None] >> shifts) & 1).astype(jnp.int8)
+    return bits.sum(axis=-3, dtype=jnp.int32)              # (..., Wd, 32)
+
+
+def ibf_bin_counts(filter_words: jnp.ndarray, reads: jnp.ndarray,
+                   lengths: jnp.ndarray, k: int, n_hashes: int,
+                   window: int = 0) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-bin (selected-)k-mer hit counts for each read row.
+
+    filter_words: (n_rows, Wd) uint32; reads: (R, L) int8. Returns
+    (counts, n_sel): counts (R, Wd*32) int32 over padded bins; n_sel (R,)
+    = number of counted k-mers (for the minimizer threshold).
     """
     n_rows = filter_words.shape[0]
+    R = reads.shape[0]
     lo, hi, valid = kmer_windows_dev(reads, lengths, k)        # (R, m)
     mix = lo ^ (hi * jnp.uint32(MIX_MULT))
+    if window > k:
+        valid = minimizer_select_dev(mix, valid, lengths, window, k)
+        # compact selected k-mers (sparse ~2/(w-k+2)) before the row
+        # gathers — the gathers cost per index, so this is the win
+        m = mix.shape[1]
+        W0 = window - k + 1
+        cap = max(8, (2 * m) // max(W0, 1) + 8)
+        pos = jnp.cumsum(valid.astype(jnp.int32), axis=1) - 1
+        dst = jnp.where(valid & (pos < cap), pos, cap)
+        rix = jnp.broadcast_to(jnp.arange(R)[:, None], dst.shape)
+        z = jnp.zeros((R, cap + 1), jnp.uint32)
+        cmix = z.at[rix, dst].set(jnp.where(valid, mix, jnp.uint32(0)))[:, :cap]
+        total = jnp.minimum(pos[:, -1] + 1, cap)
+        lanes_valid = jnp.arange(cap, dtype=jnp.int32)[None, :] < total[:, None]
+        mix, valid, n_sel = cmix, lanes_valid, total
+    else:
+        n_sel = valid.sum(axis=1, dtype=jnp.int32)
     seeds = jnp.asarray(HASH_SEEDS[:n_hashes])
     v = _fmix32(mix[:, :, None] ^ seeds[None, None, :])        # (R, m, h)
     rows = (v & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32) % jnp.int32(n_rows)
-    gathered = jnp.take(filter_words, rows, axis=0)            # (R, m, h, Wd)
-    anded = gathered[:, :, 0]
-    for j in range(1, n_hashes):
-        anded = anded & gathered[:, :, j]                      # (R, m, Wd)
-    anded = jnp.where(valid[:, :, None], anded, jnp.uint32(0))
-    shifts = jnp.arange(32, dtype=jnp.uint32)
-    bits = ((anded[:, :, :, None] >> shifts) & 1).astype(jnp.int8)  # (R, m, Wd, 32)
-    counts = bits.sum(axis=1, dtype=jnp.int32)                 # (R, Wd, 32)
-    return counts.reshape(reads.shape[0], -1)
+    counts = _count_rows(filter_words, rows, valid, n_hashes)  # (R, Wd, 32)
+    return counts.reshape(R, -1), n_sel
 
 
-def ibf_candidates(filter_words, reads, lengths, k, n_hashes, thresholds):
-    """Candidate (read, bin) mask: counts >= per-read threshold.
+def classify_thresholds(lengths2, n_sel, k: int, window: int, rate_ppm: int):
+    """Per-row routing threshold: k-mer lemma, or the probabilistic
+    minimizer bound when window > k (index/ibf.minimizer_threshold)."""
+    e = (lengths2 * jnp.int32(rate_ppm)) // 10_000
+    if window > k:
+        W0 = max(window - k + 1, 1)
+        D = -(-k // W0) + 2
+        return jnp.maximum(n_sel - e * D, 1)
+    return jnp.maximum((lengths2 - k + 1) - k * e, 1)
 
-    thresholds: (R,) int32 (k-mer lemma, computed per read length by caller).
-    Returns bool (R, bins_padded).
-    """
-    counts = ibf_bin_counts(filter_words, reads, lengths, k, n_hashes)
+
+def ibf_candidates(filter_words, reads, lengths, k, n_hashes, thresholds,
+                   window: int = 0):
+    """Candidate (read, bin) mask: counts >= per-read threshold."""
+    counts, _ = ibf_bin_counts(filter_words, reads, lengths, k, n_hashes,
+                               window)
     return counts >= thresholds[:, None]
 
 
-import functools
-
-import jax
-
-
 @functools.partial(jax.jit,
-                   static_argnames=("half", "L", "k", "n_hashes", "rate_ppm"))
+                   static_argnames=("half", "L", "k", "n_hashes", "rate_ppm",
+                                    "window"))
 def ibf_classify_packed(filter_words, blob, *, half: int, L: int,
-                        k: int, n_hashes: int, rate_ppm: int):
+                        k: int, n_hashes: int, rate_ppm: int,
+                        window: int = 0):
     """Whole-batch classification from packed uploads: unpack fwd+rc rows on
-    device, count k-mers per bin, threshold by the k-mer lemma, OR the two
+    device, count (selected) k-mers per bin, threshold, OR the two
     orientations, and bit-pack the (reads, bins) candidate mask so the
     device->host fetch is one small array (SURVEY.md §3.1 HOT LOOP 1 with
     tunnel-aware I/O)."""
@@ -100,9 +187,9 @@ def ibf_classify_packed(filter_words, blob, *, half: int, L: int,
     packed, nmask, lengths = unpack_blob(blob, half, L)
     reads = unpack_reads(packed, nmask, lengths, L)          # (R2, L)
     lengths2 = jnp.concatenate([lengths, lengths])
-    counts = ibf_bin_counts(filter_words, reads, lengths2, k, n_hashes)
-    e = (lengths2 * jnp.int32(rate_ppm)) // 10_000
-    thr = jnp.maximum((lengths2 - k + 1) - k * e, 1)
+    counts, n_sel = ibf_bin_counts(filter_words, reads, lengths2, k,
+                                   n_hashes, window)
+    thr = classify_thresholds(lengths2, n_sel, k, window, rate_ppm)
     mask = counts >= thr[:, None]
     cand = mask[:half] | mask[half:]                          # (half, Bp)
     w = cand.shape[1] // 32

@@ -39,7 +39,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops.device_index import DeviceFM, DeviceFMSet
-from ..ops.ibf_query import ibf_bin_counts
+from ..ops.ibf_query import classify_thresholds, ibf_bin_counts
 from ..ops.readpack import pack_blob_with_lengths, unpack_blob, unpack_reads
 
 
@@ -75,11 +75,12 @@ def _route_compact(routed: jnp.ndarray, r_cap: int):
     return slot_read, slot_valid, jnp.maximum(total - r_cap, 0)
 
 
-def routing_from_counts(counts, lengths2, k: int, rate_ppm: int, half: int):
-    """k-mer-lemma threshold + orientation OR — identical to the single-chip
+def routing_from_counts(counts, n_sel, lengths2, k: int, window: int,
+                        rate_ppm: int, half: int):
+    """Routing threshold (k-mer lemma, or the probabilistic minimizer bound
+    when window > k) + orientation OR — identical to the single-chip
     classifier (ops/ibf_query.ibf_classify_packed)."""
-    e = (lengths2 * jnp.int32(rate_ppm)) // 10_000
-    thr = jnp.maximum((lengths2 - k + 1) - k * e, 1)
+    thr = classify_thresholds(lengths2, n_sel, k, window, rate_ppm)
     mask = counts >= thr[:, None]
     return mask[:half] | mask[half:]                       # (half, Bp)
 
@@ -88,7 +89,7 @@ def build_mesh_dream_step(mesh: Mesh, *, half_loc: int, L: int, B: int,
                           r_cap: int, rate_ppm: int, max_errors: int,
                           capacity: int, max_slen: int, prefix_q: int,
                           sample_rate: int, use_pallas: bool,
-                          k: int = 0, n_hashes: int = 0,
+                          k: int = 0, n_hashes: int = 0, window: int = 0,
                           use_filter: bool = True):
     """Jitted sharded step: (fmset, filter_words, blob) -> MeshMapOut.
 
@@ -110,8 +111,10 @@ def build_mesh_dream_step(mesh: Mesh, *, half_loc: int, L: int, B: int,
         lengths2 = jnp.concatenate([lengths, lengths])
 
         if use_filter:
-            counts = ibf_bin_counts(filter_words, reads, lengths2, k, n_hashes)
-            cand = routing_from_counts(counts, lengths2, k, rate_ppm, half_loc)
+            counts, n_sel = ibf_bin_counts(filter_words, reads, lengths2, k,
+                                           n_hashes, window)
+            cand = routing_from_counts(counts, n_sel, lengths2, k, window,
+                                       rate_ppm, half_loc)
             cand = cand[:, :B]
         else:
             cand = jnp.broadcast_to((lengths > 0)[:, None], (half_loc, B))

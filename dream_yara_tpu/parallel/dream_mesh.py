@@ -64,9 +64,10 @@ class MeshDreamMapper:
                                            jax.sharding.PartitionSpec()))
             self.k = index.filter.k
             self.n_hashes = index.filter.n_hashes
+            self.window = getattr(index.filter, "window", 0)
         else:
             self.filter_words = jnp.zeros((1, 2), dtype=jnp.uint32)
-            self.k = self.n_hashes = 0
+            self.k = self.n_hashes = self.window = 0
         self._steps: dict = {}
 
     def _r_cap(self, half_loc: int) -> int:
@@ -87,7 +88,7 @@ class MeshDreamMapper:
                 rate_ppm=rate_ppm, max_errors=max_err, capacity=8,
                 max_slen=max_slen, prefix_q=self.prefix_q,
                 sample_rate=self.sample_rate, use_pallas=self.use_pallas,
-                k=self.k, n_hashes=self.n_hashes, use_filter=self.use_filter)
+                k=self.k, n_hashes=self.n_hashes, window=self.window, use_filter=self.use_filter)
         return self._steps[key]
 
     def map_batch(self, batch: ReadBatch,

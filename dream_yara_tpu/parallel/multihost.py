@@ -193,11 +193,12 @@ class MultiHostDreamMapper:
             self.filter_words = jax.make_array_from_process_local_data(
                 sh, w, w.shape)
             self.k, self.n_hashes = self.filter.k, self.filter.n_hashes
+            self.window = getattr(self.filter, "window", 0)
         else:
             sh = NamedSharding(self.mesh, P())
             self.filter_words = jax.make_array_from_process_local_data(
                 sh, np.zeros((1, 2), np.uint32), (1, 2))
-            self.k = self.n_hashes = 0
+            self.k = self.n_hashes = self.window = 0
         self._steps: dict = {}
         self._bin_mappers: dict = {}
 
@@ -217,7 +218,7 @@ class MultiHostDreamMapper:
                 self.mesh, half_loc=half_loc, L=L, B=self.B, r_cap=r_cap,
                 rate_ppm=rate_ppm, max_errors=max_err, capacity=8,
                 max_slen=max_slen, prefix_q=self.prefix_q, sample_rate=1,
-                use_pallas=self.use_pallas, k=self.k, n_hashes=self.n_hashes,
+                use_pallas=self.use_pallas, k=self.k, n_hashes=self.n_hashes, window=self.window,
                 use_filter=self.filter is not None)
         return self._steps[key]
 

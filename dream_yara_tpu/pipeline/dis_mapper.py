@@ -22,7 +22,6 @@ from ..index.ibf import InterleavedBloomFilter
 from ..index.kdx import DirectKmerFilter
 from ..io.readstore import ReadBatch
 from ..io.seqstore import SeqStore
-from ..ops.ibf_query import ibf_bin_counts
 from ..utils.options import MapperOptions
 from ..utils.timer import StageTimers
 from .cigar import compute_cigars
@@ -112,7 +111,8 @@ def classify_reads(index: DreamIndex, batch: ReadBatch, opts: MapperOptions,
         blob = pack_blob_with_lengths(batch.seqs[ids], lens, IBF_READS, L)
         cw = np.asarray(ibf_classify_packed(
             words, jnp.asarray(blob), half=IBF_READS,
-            L=L, k=filt.k, n_hashes=filt.n_hashes, rate_ppm=rate_ppm))
+            L=L, k=filt.k, n_hashes=filt.n_hashes, rate_ppm=rate_ppm,
+            window=getattr(filt, "window", 0)))
         bits = ((cw[:, :, None] >> shifts) & 1).astype(bool)
         mask[ids] = bits.reshape(IBF_READS, -1)[: len(ids), :B]
     return mask

@@ -230,3 +230,26 @@ def test_dream_equals_monolithic(dream_db):
     sam_dream = dream_map_sam(index, batch, opts)
     sam_mono = dream_map_sam(mono, batch, opts)
     assert sam_dream == sam_mono
+
+
+def test_minimizer_filter_end_to_end(dream_db):
+    """DREAM run with a minimizer IBF (w > k): planted reads still map to
+    their true bins/positions, and routing stays selective."""
+    rng, genomes, index = dream_db
+    B = len(genomes)
+    ibf = InterleavedBloomFilter.create(B, size_bits=1 << 22, n_hashes=3,
+                                        k=19, window=27)
+    for b, g in enumerate(genomes):
+        ibf.add_kmers(g, b)
+    index_m = DreamIndex(index.stores, index.fms, ibf, "bloom")
+    batch, truth = planted_batch(rng, genomes)
+    opts = MapperOptions(error_rate=0.03)
+    routing = classify_reads(index_m, batch, opts)
+    for rid, (b, p, strand) in enumerate(truth):
+        assert routing[rid, b], f"read {rid} not routed to bin {b}"
+    assert routing.sum() <= 2 * len(truth), "minimizer routing not selective"
+    m = dis_map_batch(index_m, batch, opts)
+    starts = index_m.contigs.bin_starts
+    found = set(zip(m.read_id.tolist(), m.strand.tolist(), m.begin.tolist()))
+    for rid, (b, p, strand) in enumerate(truth):
+        assert (rid, strand, int(starts[b]) + p) in found, f"read {rid}"

@@ -93,3 +93,92 @@ def test_kdx_exact(rng):
 def test_threshold_lemma():
     assert InterleavedBloomFilter.threshold(100, 19, 3) == 100 - 19 + 1 - 57
     assert InterleavedBloomFilter.threshold(20, 19, 3) == 1  # floored
+
+
+# --- minimizer mode (reference build_filter winnowing [U,M]) --------------
+
+def test_minimizer_selection_density_and_determinism(rng):
+    from dream_yara_tpu.index.hashing import kmer_windows, minimizer_select
+
+    codes = random_text(rng, 5000)
+    k, w = 19, 27
+    lo, hi, valid = kmer_windows(codes, k)
+    sel = minimizer_select(lo, hi, valid, w, k)
+    # winnowing density ~ 2/(w-k+2): expect a 2.5-6x reduction
+    assert valid.sum() / 6 < sel.sum() < valid.sum() / 2.5
+    sel2 = minimizer_select(lo, hi, valid, w, k)
+    assert np.array_equal(sel, sel2)
+    # every w-window contains at least one selected k-mer
+    W0 = w - k + 1
+    for j in range(0, len(sel) - W0 + 1, 97):
+        assert sel[j : j + W0].any()
+
+
+def test_minimizer_ibf_routes_mutated_reads(rng):
+    from dream_yara_tpu.index.ibf import InterleavedBloomFilter
+
+    B = 4
+    k, w = 19, 27
+    genomes = [random_text(rng, 6000) for _ in range(B)]
+    ibf = InterleavedBloomFilter.create(B, size_bits=1 << 22, n_hashes=3,
+                                        k=k, window=w)
+    for b, g in enumerate(genomes):
+        ibf.add_kmers(g, b)
+    hits = 0
+    trials = 0
+    for b, g in enumerate(genomes):
+        for i in range(20):
+            p = int(rng.integers(0, 5900))
+            r = g[p : p + 100].copy()
+            for _ in range(3):  # e = 3 substitutions
+                j = int(rng.integers(0, 100))
+                r[j] = (r[j] + int(rng.integers(1, 4))) % 4
+            t = ibf.minimizer_threshold(ibf.n_minimizers(r), k, w, 3)
+            routed = ibf.which_bins(r, t)
+            trials += 1
+            hits += int(b in routed)
+            # selectivity: random other bins shouldn't all pass
+            assert len(routed) <= B
+    assert hits == trials, f"minimizer routing missed {trials - hits}/{trials}"
+
+
+def test_minimizer_device_matches_host(rng):
+    import jax.numpy as jnp
+
+    from dream_yara_tpu.index.hashing import kmer_windows, minimizer_select
+    from dream_yara_tpu.index.ibf import InterleavedBloomFilter
+    from dream_yara_tpu.ops.ibf_query import ibf_bin_counts
+
+    B = 3
+    k, w = 19, 25
+    genomes = [random_text(rng, 3000) for _ in range(B)]
+    ibf = InterleavedBloomFilter.create(B, size_bits=1 << 22, n_hashes=3,
+                                        k=k, window=w)
+    for b, g in enumerate(genomes):
+        ibf.add_kmers(g, b)
+    reads = np.full((5, 120), 4, dtype=np.int8)
+    lens = np.zeros(5, dtype=np.int32)
+    for i in range(4):
+        reads[i, :120] = genomes[i % B][100 + i * 7 : 220 + i * 7]
+        lens[i] = 120
+    reads[4, :50] = random_text(rng, 50, n_rate=0.05)  # short + Ns
+    lens[4] = 50
+    got, n_sel = ibf_bin_counts(jnp.asarray(ibf.words), jnp.asarray(reads),
+                                jnp.asarray(lens), k, ibf.n_hashes, window=w)
+    got, n_sel = np.asarray(got), np.asarray(n_sel)
+    for i in range(5):
+        want = ibf.bin_counts(reads[i, : lens[i]])
+        assert np.array_equal(got[i, :B], want), i
+        assert n_sel[i] == ibf.n_minimizers(reads[i, : lens[i]]), i
+
+
+def test_minimizer_filter_save_load_roundtrip(rng, tmp_path):
+    from dream_yara_tpu.index.ibf import InterleavedBloomFilter
+
+    ibf = InterleavedBloomFilter.create(4, size_bits=1 << 20, n_hashes=2,
+                                        k=15, window=21)
+    ibf.add_kmers(random_text(rng, 500), 2)
+    ibf.save(tmp_path / "f")
+    back = InterleavedBloomFilter.load(tmp_path / "f")
+    assert back.window == 21 and back.k == 15
+    assert np.array_equal(back.words, ibf.words)

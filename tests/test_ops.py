@@ -175,9 +175,10 @@ def test_ibf_device_matches_host(rng):
         lens.append(100)
     reads[5, :60] = random_text(rng, 60)  # shorter read with N padding
     lens.append(60)
-    got = np.asarray(ibf_bin_counts(
+    got, n_sel = ibf_bin_counts(
         jnp.asarray(ibf.words), jnp.asarray(reads),
-        jnp.asarray(lens, dtype=jnp.int32), ibf.k, ibf.n_hashes))
+        jnp.asarray(lens, dtype=jnp.int32), ibf.k, ibf.n_hashes)
+    got = np.asarray(got)
     for i in range(6):
         want = ibf.bin_counts(reads[i, : lens[i]])
         assert np.array_equal(got[i, :bins], want), i
