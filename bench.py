@@ -106,10 +106,11 @@ def main():
     dream_map_sam(index, warm, opts, header=False)
     print(f"[bench] warmup (compile): {time.time() - t0:.1f}s", file=sys.stderr)
 
-    # three timed passes, report the best: the shared tunnel adds up to ~25%
-    # run-to-run noise (BASELINE.md), and peak throughput is the metric
-    best_dt = None
-    for rep in range(3):
+    # five timed passes, report the MEDIAN: the shared tunnel adds up to
+    # ~25% run-to-run noise (BASELINE.md), and a best-of headline would
+    # ride that noise instead of the code
+    dts = []
+    for rep in range(5):
         timers = StageTimers()
         t0 = time.time()
         n_lines = 0
@@ -120,8 +121,8 @@ def main():
         assert n_lines >= N_READS
         print(f"[bench] pass {rep}: {N_READS} reads in {dt:.2f}s", file=sys.stderr)
         print(timers.report(), file=sys.stderr)
-        best_dt = dt if best_dt is None else min(best_dt, dt)
-    dt = best_dt
+        dts.append(dt)
+    dt = sorted(dts)[len(dts) // 2]
     rps = N_READS / dt
 
     print(json.dumps({

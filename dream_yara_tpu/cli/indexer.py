@@ -19,8 +19,33 @@ from pathlib import Path
 from .common import cli_guard as __cli_guard,  expand_bin_paths
 
 
+def device_bytes_per_bp(sample_rate: int) -> float:
+    """HBM bytes per text bp for one resident DeviceFM: text(1) + bwt(1)
+    + occ(24/128) + fused rank rows(96/128) + SA (4 full / ~0.7 sampled@8)."""
+    sa = 4.0 / sample_rate + (0.3 if sample_rate > 1 else 0.0)
+    return 1 + 1 + 24 / 128 + 96 / 128 + sa
+
+
+def check_hbm_ceiling(n_bp: int, sample_rate: int, hbm_gb: float, bin_id):
+    """A bin must fit one device's HBM (SURVEY.md §5.7). Refuse with
+    actionable guidance instead of building an unusable artifact."""
+    need = n_bp * device_bytes_per_bp(sample_rate)
+    budget = hbm_gb * (1 << 30) * 0.8  # leave 20% for activations
+    if need > budget:
+        per_bp = device_bytes_per_bp(8)
+        max_bp = int(budget / per_bp)
+        sys.exit(
+            f"error: bin {bin_id}: {n_bp} bp needs ~{need / 2**30:.1f} GiB "
+            f"of device HBM (> {hbm_gb} GiB chip budget).\n"
+            f"  Split this bin into pieces of at most ~{max_bp // 10**6} Mbp "
+            f"(taxonomic splitting keeps the DREAM update property), or\n"
+            f"  rebuild with --sample-rate 8 (sampled SA cuts the footprint "
+            f"~2.8x at a small locate cost), or raise --hbm-gb if your "
+            f"chips have more memory.")
+
+
 def build_one_bin(args):
-    fasta, db_dir, bin_id, sample_rate = args
+    fasta, db_dir, bin_id, sample_rate, hbm_gb = args
     from ..index.fmindex import FMIndex
     from ..io.seqstore import SeqStore
     from .common import FASTA_EXTS  # noqa: F401
@@ -28,6 +53,7 @@ def build_one_bin(args):
 
     t0 = time.time()
     store = SeqStore.from_fasta(fasta)
+    check_hbm_ceiling(len(store.text), sample_rate, hbm_gb, bin_id)
     fm = FMIndex.build(store.text, sample_rate=sample_rate)
     (Path(db_dir) / "bins").mkdir(parents=True, exist_ok=True)
     store.save(bin_file(db_dir, bin_id, "store"))
@@ -45,6 +71,9 @@ def main(argv=None):
     p.add_argument("-o", "--output-dir", required=True, help="database directory")
     p.add_argument("--sample-rate", type=int, default=1,
                    help="SA sampling rate (1 = full SA)")
+    p.add_argument("--hbm-gb", type=float, default=16.0,
+                   help="per-chip HBM budget used to refuse bins that could "
+                        "never be device-resident (v5e: 16)")
     p.add_argument("-t", "--threads", type=int, default=1,
                    help="parallel bin builds (processes)")
     p.add_argument("--bin-id", type=int, default=None,
@@ -59,13 +88,14 @@ def main(argv=None):
         paths = expand_bin_paths(a.bins, a.bins_dir)
         if len(paths) != 1:
             sys.exit("error: --bin-id expects exactly one replacement fasta")
-        bin_id, n, dt = build_one_bin((paths[0], db_dir, a.bin_id, a.sample_rate))
+        bin_id, n, dt = build_one_bin(
+            (paths[0], db_dir, a.bin_id, a.sample_rate, a.hbm_gb))
         print(f"[indexer] rebuilt bin {bin_id} ({n} bp) in {dt:.1f}s",
               file=sys.stderr)
         return
 
     paths = expand_bin_paths(a.bins, a.bins_dir)
-    jobs = [(f, db_dir, b, a.sample_rate) for b, f in enumerate(paths)]
+    jobs = [(f, db_dir, b, a.sample_rate, a.hbm_gb) for b, f in enumerate(paths)]
     t0 = time.time()
     if a.threads > 1:
         with ProcessPoolExecutor(max_workers=a.threads) as ex:

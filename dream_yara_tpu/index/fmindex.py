@@ -92,20 +92,28 @@ class FMIndex:
         its window, so padding never collides with a pure-ACGT key). Keys are
         non-decreasing in SA order, so each q-mer's interval is a
         searchsorted pair. q defaults to ~log4(n) (table ~ text size),
-        capped at 12.
+        capped at 11 so keys fit int32 (6^11 < 2^31) — GRCh38-scale bins
+        would otherwise burn ~3x the text size in int64 temporaries. Keys
+        are built in SA chunks to bound peak memory at ~5 bytes/char.
         """
         n = self.n
         if q is None:
-            q = max(2, min(12, int(np.log(max(n, 16)) / np.log(4))))
-        sa = self.sa.astype(np.int64)
-        tpad = np.concatenate([np.asarray(text, np.int64), np.zeros(q, np.int64)])
-        keys = np.zeros(n, dtype=np.int64)
-        for t in range(q):
-            keys = keys * 6 + tpad[sa + t]
+            q = max(2, min(11, int(np.log(max(n, 16)) / np.log(4))))
+        q = min(q, 11)
+        tpad = np.concatenate([np.asarray(text, np.int32),
+                               np.zeros(q, np.int32)])
+        keys = np.empty(n, dtype=np.int32)
+        CHUNK = 1 << 24
+        for c0 in range(0, n, CHUNK):
+            sa_c = self.sa[c0 : c0 + CHUNK].astype(np.int64)
+            kc = np.zeros(len(sa_c), dtype=np.int32)
+            for t in range(q):
+                kc = kc * np.int32(6) + tpad[sa_c + t]
+            keys[c0 : c0 + len(sa_c)] = kc
         idx = np.arange(4 ** q, dtype=np.int64)
-        key6 = np.zeros(4 ** q, dtype=np.int64)
+        key6 = np.zeros(4 ** q, dtype=np.int32)
         for t in range(q):
-            key6 = key6 * 6 + ((idx >> (2 * (q - 1 - t))) & 3)
+            key6 = key6 * np.int32(6) + ((idx >> (2 * (q - 1 - t))) & 3).astype(np.int32)
         self.prefix_q = q
         self.pfx_lo = np.searchsorted(keys, key6, side="left").astype(np.int32)
         self.pfx_hi = np.searchsorted(keys, key6, side="right").astype(np.int32)

@@ -104,15 +104,29 @@ def minimizer_select_dev(mix: jnp.ndarray, valid: jnp.ndarray,
 
 
 def _count_rows(filter_words, rows_idx, lanes_valid, n_hashes):
-    """AND the hash rows per lane and unpack to per-bin counts."""
-    gathered = jnp.take(filter_words, rows_idx, axis=0)    # (..., h, Wd)
-    anded = gathered[..., 0, :]
-    for j in range(1, n_hashes):
-        anded = anded & gathered[..., j, :]
-    anded = jnp.where(lanes_valid[..., None], anded, jnp.uint32(0))
+    """AND the hash rows per lane and unpack to per-bin counts.
+
+    rows_idx: (R, M, h) int32; lanes_valid: (R, M) bool; returns (R, Wd*32).
+    Gathers run on FLAT 1-D arrays and the hash-AND uses strided slices:
+    a (R, M, h, Wd) gather output has a tiny minor axis that TPU layout
+    pads to 128 lanes — at config-2 shapes that was a 44x (8.5 GiB)
+    HLO-temp expansion. 1-D tensors tile densely.
+    """
+    R, M, h = rows_idx.shape
+    Wd = filter_words.shape[1]
+    flat_idx = rows_idx.reshape(-1)                        # (R*M*h,)
+    vflat = lanes_valid.reshape(-1)
     shifts = jnp.arange(32, dtype=jnp.uint32)
-    bits = ((anded[..., None] >> shifts) & 1).astype(jnp.int8)
-    return bits.sum(axis=-3, dtype=jnp.int32)              # (..., Wd, 32)
+    outs = []
+    for w in range(Wd):
+        gw = jnp.take(filter_words[:, w], flat_idx)        # (R*M*h,) 1-D
+        anded = gw[0::h]
+        for j in range(1, h):
+            anded = anded & gw[j::h]                       # (R*M,)
+        anded = jnp.where(vflat, anded, jnp.uint32(0)).reshape(R, M)
+        bits = ((anded[:, :, None] >> shifts) & 1).astype(jnp.int32)
+        outs.append(bits.sum(axis=1, dtype=jnp.int32))     # (R, 32)
+    return jnp.stack(outs, axis=1)                         # (R, Wd, 32)
 
 
 def ibf_bin_counts(filter_words: jnp.ndarray, reads: jnp.ndarray,

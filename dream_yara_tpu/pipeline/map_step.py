@@ -216,16 +216,27 @@ def pairwise_dedup(A, V):
         earlier = jnp.tril(jnp.ones((slots, slots), bool), k=-1)
         eq = A[:, :, None] == A[:, None, :]
         dup = (eq & V[:, None, :] & earlier[None, :, :]).any(axis=2)
-    else:
-        # chunk the j axis to bound the pairwise tensor
-        dups = []
-        for j0 in range(0, slots, PAIR_BLOCK):
-            j1 = min(j0 + PAIR_BLOCK, slots)
-            eq = A[:, j0:j1, None] == A[:, None, :]          # (R, jb, slots)
-            kle = (jnp.arange(slots)[None, None, :]
-                   < (j0 + jnp.arange(j1 - j0))[None, :, None])
-            dups.append((eq & V[:, None, :] & kle).any(axis=2))
-        dup = jnp.concatenate(dups, axis=1)
+        return V & ~dup
+    # wide slot counts (the edit-layout repetitive path): a fori_loop over
+    # j-blocks keeps ONE (R, PB, slots) buffer live instead of slots/PB of
+    # them — unrolled chunking compiled to multi-GiB HLO temps at
+    # config-2 shapes and blew past HBM
+    PB = 32
+    nb = (slots + PB - 1) // PB
+    pad = nb * PB - slots
+    Ap = jnp.pad(A, ((0, 0), (0, pad)))
+
+    def blk(i, dup):
+        j0 = i * PB
+        Aj = jax.lax.dynamic_slice_in_dim(Ap, j0, PB, axis=1)   # (R, PB)
+        eq = Aj[:, :, None] == A[:, None, :]                    # (R, PB, slots)
+        kle = (jnp.arange(slots, dtype=jnp.int32)[None, None, :]
+               < (j0 + jnp.arange(PB, dtype=jnp.int32))[None, :, None])
+        d = (eq & V[:, None, :] & kle).any(axis=2)              # (R, PB)
+        return jax.lax.dynamic_update_slice(dup, d, (0, j0))
+
+    dup = jax.lax.fori_loop(0, nb, blk,
+                            jnp.zeros((R, nb * PB), bool))[:, :slots]
     return V & ~dup
 
 

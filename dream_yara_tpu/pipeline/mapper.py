@@ -165,7 +165,8 @@ class BinMapper:
 
     REP_PAD = 1024  # fixed row-group shape for the repetitive re-seed step
 
-    REP2_T = 20  # stratum-2 truncation: 9*C(t,2) layouts must stay affordable
+    REP1_T = 32  # stratum-1 window truncation (layout lanes ~ 8*t)
+    REP2_T = 16  # stratum-2 truncation: 9*C(t,2) layouts must stay affordable
 
     def _repetitive_pass(self, out: MapStepOut, reads_c, lens_c, ids, half, n,
                          max_err, rate_ppm) -> Matches:
@@ -208,7 +209,7 @@ class BinMapper:
             return parts, matched
 
         parts, matched = run(rep_rows, budget=1, indels=self.opts.indels,
-                             t_max=msl)
+                             t_max=min(msl, self.REP1_T))
         # stratum 2: rows the 1-edit stratum could not place at all
         rows2 = np.setdiff1d(rep_rows, matched).astype(np.int32)
         if len(rows2):

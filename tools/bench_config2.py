@@ -1,0 +1,150 @@
+"""Config-2 benchmark (BASELINE.json row 2 analog): multi-bin PE throughput.
+
+chr21-scale total (8 bins x 5.8 Mbp = 46.4 Mbp), 1M read pairs of 150bp
+(e <= 3%), IBF routing, full PE pipeline (classify -> per-bin map -> merge ->
+rescue -> pair -> SAM) streamed in batches. Prints ONE JSON line. Run on the
+real chip: python tools/bench_config2.py [n_pairs]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+BINS = 8
+BIN_LEN = 5_800_000
+READ_LEN = 150
+LL, LD = 350, 80
+CACHE = Path(__file__).parent.parent / ".bench_cache" / "config2"
+
+
+def build_or_load():
+    from dream_yara_tpu.index.fmindex import FMIndex
+    from dream_yara_tpu.index.ibf import InterleavedBloomFilter
+    from dream_yara_tpu.io.seqstore import SeqStore
+    from dream_yara_tpu.pipeline.dis_mapper import DreamIndex
+
+    CACHE.mkdir(parents=True, exist_ok=True)
+    rng = np.random.default_rng(2024)
+    stores, fms = [], []
+    genomes = []
+    t0 = time.time()
+    for b in range(BINS):
+        g = rng.integers(0, 4, BIN_LEN).astype(np.int8)
+        genomes.append(g)
+        sp = CACHE / f"{b}.store.npz"
+        fp = CACHE / f"{b}.fm.npz"
+        if sp.exists() and fp.exists():
+            stores.append(SeqStore.load(sp))
+            fms.append(FMIndex.load(fp))
+        else:
+            st = SeqStore.from_seqs([f"chr{b}"], [g])
+            fm = FMIndex.build(st.text)
+            st.save(sp)
+            fm.save(fp)
+            stores.append(st)
+            fms.append(fm)
+    ip = CACHE / "ibf.npz"
+    if ip.exists():
+        ibf = InterleavedBloomFilter.load(CACHE / "ibf")
+    else:
+        ibf = InterleavedBloomFilter.create(BINS, size_bits=1 << 27,
+                                            n_hashes=3, k=19)
+        for b, g in enumerate(genomes):
+            ibf.add_kmers(g, b)
+        ibf.save(CACHE / "ibf")
+    print(f"[c2] db ready: {time.time() - t0:.1f}s", file=sys.stderr)
+    return genomes, DreamIndex(stores, fms, ibf, "bloom")
+
+
+def make_pairs(genomes, stores, n_pairs, rng):
+    """Vectorized PE read generation with <=3% substitutions."""
+    from dream_yara_tpu.io.readstore import ReadBatch
+    from dream_yara_tpu.utils.alphabet import revcomp
+
+    b_of = rng.integers(0, BINS, n_pairs)
+    tlen = rng.integers(LL - LD + 10, LL + LD - 10, n_pairs)
+    p = rng.integers(0, BIN_LEN - (LL + LD), n_pairs)
+    m1 = np.empty((n_pairs, READ_LEN), dtype=np.int8)
+    m2 = np.empty((n_pairs, READ_LEN), dtype=np.int8)
+    win = np.arange(READ_LEN)
+    for b in range(BINS):
+        sel = np.flatnonzero(b_of == b)
+        g = genomes[b]
+        m1[sel] = g[p[sel, None] + win[None, :]]
+        starts2 = p[sel] + tlen[sel] - READ_LEN
+        r2 = g[starts2[:, None] + win[None, :]]
+        # reverse complement rows (FR orientation)
+        m2[sel] = np.where(r2[:, ::-1] < 4, 3 - r2[:, ::-1], r2[:, ::-1])
+    for m in (m1, m2):
+        nsub = rng.integers(0, 5, n_pairs)  # 0-4 subs on 150bp (<=3%)
+        for s in range(1, 5):
+            rows = np.flatnonzero(nsub >= s)
+            cols = rng.integers(0, READ_LEN, len(rows))
+            m[rows, cols] = (m[rows, cols] + rng.integers(1, 4, len(rows))) % 4
+    names = [f"p{i}" for i in range(n_pairs)]
+    reads = [m1[i] for i in range(n_pairs)] + [m2[i] for i in range(n_pairs)]
+    return ReadBatch.from_reads(names * 2, reads, paired=True)
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      str(Path(__file__).parent.parent / ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from dream_yara_tpu.pipeline.dis_mapper import dream_map_stream
+    from dream_yara_tpu.utils.options import MapperOptions
+    from dream_yara_tpu.utils.timer import StageTimers
+
+    n_pairs = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    batch_pairs = 125_000
+    genomes, index = build_or_load()
+    opts = MapperOptions(error_rate=0.03, library_length=LL,
+                         library_deviation=LD, secondary_matches="tag")
+
+    rng = np.random.default_rng(7)
+    print(f"[c2] devices: {jax.devices()}", file=sys.stderr)
+    t0 = time.time()
+    warm = make_pairs(genomes, index.stores, 2048, rng)
+    from dream_yara_tpu.pipeline.dis_mapper import dream_map_sam
+    dream_map_sam(index, warm, opts, header=False)
+    print(f"[c2] warmup: {time.time() - t0:.1f}s", file=sys.stderr)
+
+    batches = [make_pairs(genomes, index.stores, batch_pairs, rng)
+               for _ in range(n_pairs // batch_pairs)]
+    timers = StageTimers()
+    stats: dict = {}
+    t0 = time.time()
+    n_rec = 0
+    for sam in dream_map_stream(index, iter(batches), opts, timers=timers,
+                                stats=stats):
+        n_rec += sum(1 for l in sam.splitlines()
+                     if l and not l.startswith("@"))
+    dt = time.time() - t0
+    total_reads = 2 * n_pairs
+    assert n_rec >= total_reads
+    print(timers.report(), file=sys.stderr)
+    mapped = stats.get("mapped", 0)
+    pp = stats.get("proper_pairs", 0)
+    print(f"[c2] mapped {mapped}/{total_reads} "
+          f"({100 * mapped / total_reads:.2f}%), proper pairs {pp} "
+          f"({200 * pp / total_reads:.2f}%)", file=sys.stderr)
+    rps = total_reads / dt
+    print(json.dumps({
+        "metric": "config2 PE reads/sec/chip (150bp, 8 bins, IBF routing)",
+        "value": round(rps, 1),
+        "unit": "reads/s",
+        "vs_baseline": round(rps / 50_000.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
