@@ -135,6 +135,10 @@ class FMIndex:
     def rank(self, c: int, i: int) -> int:
         """Occurrences of c in bwt[0:i)."""
         b, r = divmod(i, BLOCK)
+        if r == 0:
+            # i == n on a 128-divisible text lands b == n_blocks: the occ
+            # checkpoint row exists but there is no BWT block to scan
+            return int(self.occ[b, c])
         return int(self.occ[b, c]) + int((self.bwt_blocks[b, :r] == c).sum())
 
     def backward_step(self, c: int, lo: int, hi: int) -> tuple[int, int]:

@@ -132,14 +132,17 @@ def _sub_batch(batch: ReadBatch, ids: np.ndarray) -> ReadBatch:
 def dis_map_batch(index: DreamIndex, batch: ReadBatch, opts: MapperOptions,
                   timers: StageTimers | None = None) -> Matches:
     """Matches in GLOBAL coordinates across all candidate bins."""
-    routing = classify_reads(index, batch, opts, timers)
+    timers = timers or StageTimers()
+    with timers.stage("ibf classify"):
+        routing = classify_reads(index, batch, opts, timers)
     parts: list[Matches] = []
     for b in range(index.n_bins):
         ids = np.flatnonzero(routing[:, b])
         if len(ids) == 0:
             continue
-        sub = _sub_batch(batch, ids)
-        bm = index.bin_mapper(b, opts, timers)
+        with timers.stage("per-bin subset prep (host)"):
+            sub = _sub_batch(batch, ids)
+            bm = index.bin_mapper(b, opts, timers)
         m = bm.map_batch(sub)
         # copyMatches [U]: bin-local -> global coords + batch read ids
         off = int(index.contigs.bin_starts[b])
@@ -275,11 +278,14 @@ def _finish_batch(index: DreamIndex, batch: ReadBatch, m: Matches,
                             dists=ranked.matches.dist)
 
     pair_info = None
+    if batch.paired:
+        with timers.stage("select pairs (host)"):
+            pair_info = select_pairs(ranked, batch.n_reads, index.contigs,
+                                     opts.library_length,
+                                     opts.library_deviation)
     with timers.stage("sam write (host)"):
         lines = sam_header(index.contigs, cmdline) if header else []
         if batch.paired:
-            pair_info = select_pairs(ranked, batch.n_reads, index.contigs,
-                                     opts.library_length, opts.library_deviation)
             lines += write_pe_records(batch, index.contigs, ranked, cigars,
                                       pair_info, secondary_mode=opts.secondary_matches)
         else:

@@ -72,3 +72,22 @@ def test_save_load(fm_and_text, tmp_path):
     fms2 = FMIndex.load(tmp_path / "fms")
     assert fms2.sample_rate == 4
     assert fms2.locate(10) == fm.sa[10]
+
+
+def test_block_divisible_text_length(rng):
+    """Regression: rank(c, n) on a text whose length is an exact multiple
+    of the 128-char block indexed one BWT block past the end (hit at the
+    1 Gbp scale check — 10^9 % 128 == 0)."""
+    text = random_text(rng, 1280)  # 10 * BLOCK exactly
+    text[-1] = 5                   # sentinel-terminated, like SeqStore texts
+    fm = FMIndex.build(text)
+    for c in range(4):
+        want = int((text == c).sum())
+        assert fm.rank(c, fm.n) == want
+    p = 700
+    lo, hi = fm.backward_search(text[p : p + 30])
+    assert hi > lo
+    assert p in {fm.locate(r) for r in range(lo, hi)}
+    fms = fm.subsample_sa(8)
+    lo, hi = fms.backward_search(text[p : p + 30])
+    assert p in {fms.locate(r) for r in range(lo, hi)}

@@ -1,0 +1,89 @@
+"""Config-2 through the routed mesh driver on ONE device.
+
+Same workload as tools/bench_config2.py (8 x 5.8 Mbp bins, 150bp PE,
+e <= 3%, IBF routing) but mapped via parallel/dream_mesh.MeshDreamMapper on
+a single-device (data=1, bin=1) mesh: classify -> capacity-route -> map all
+8 bins in ONE dispatch per batch, instead of 8 padded mega-chunk dispatches.
+Device rows per batch drop from ~16.8 rows/read (per-bin 131072-row padding)
+to ~2.6 rows/read (r_cap-compacted).
+
+Run on the real chip: python tools/bench_config2_mesh.py [n_pairs] [r_cap]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+from bench_config2 import BINS, LD, LL, build_or_load, make_pairs  # noqa: E402
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      str(Path(__file__).parent.parent / ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from dream_yara_tpu.parallel.dream_mesh import (MeshDreamMapper,
+                                                    mesh_dream_sam)
+    from dream_yara_tpu.utils.options import MapperOptions
+    from dream_yara_tpu.utils.timer import StageTimers
+
+    n_pairs = int(sys.argv[1]) if len(sys.argv) > 1 else 250_000
+    r_cap = int(sys.argv[2]) if len(sys.argv) > 2 else 40_960
+    batch_pairs = 125_000
+    genomes, index = build_or_load()
+    opts = MapperOptions(error_rate=0.03, library_length=LL,
+                         library_deviation=LD, secondary_matches="tag")
+
+    rng = np.random.default_rng(7)
+    print(f"[c2m] devices: {jax.devices()}", file=sys.stderr)
+    mapper = MeshDreamMapper(index, opts, n_devices=1, r_cap=r_cap)
+    print(f"[c2m] mesh {dict(mapper.mesh.shape)}, r_cap={r_cap}",
+          file=sys.stderr)
+
+    t0 = time.time()
+    warm = make_pairs(genomes, index.stores, batch_pairs, rng)
+    mesh_dream_sam(mapper, warm, header=False)
+    print(f"[c2m] warmup: {time.time() - t0:.1f}s", file=sys.stderr)
+
+    batches = [make_pairs(genomes, index.stores, batch_pairs, rng)
+               for _ in range(n_pairs // batch_pairs)]
+    timers = StageTimers()
+    stats: dict = {}
+    t0 = time.time()
+    n_rec = 0
+    header = True
+    for batch in batches:
+        sam = mesh_dream_sam(mapper, batch, timers=timers, header=header,
+                             stats=stats)
+        header = False
+        n_rec += sum(1 for l in sam.splitlines()
+                     if l and not l.startswith("@"))
+    dt = time.time() - t0
+    total_reads = 2 * n_pairs
+    assert n_rec >= total_reads
+    print(timers.report(), file=sys.stderr)
+    mapped = stats.get("mapped", 0)
+    pp = stats.get("proper_pairs", 0)
+    print(f"[c2m] mapped {mapped}/{total_reads} "
+          f"({100 * mapped / total_reads:.2f}%), proper pairs {pp} "
+          f"({200 * pp / total_reads:.2f}%)", file=sys.stderr)
+    rps = total_reads / dt
+    print(json.dumps({
+        "metric": "config2 PE reads/sec/chip (mesh-routed, 150bp, 8 bins)",
+        "value": round(rps, 1),
+        "unit": "reads/s",
+        "vs_baseline": round(rps / 50_000.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

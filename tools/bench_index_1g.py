@@ -23,6 +23,7 @@ def main():
 
     rng = np.random.default_rng(1)
     text = rng.integers(0, 4, n).astype(np.int8)
+    text[-1] = 5  # sentinel-terminated (SeqStore convention)
     t0 = time.time()
     fm = FMIndex.build(text, sample_rate=8)
     dt = time.time() - t0
@@ -30,15 +31,13 @@ def main():
     print(f"[index-1g] {mbp} Mbp: {dt:.1f}s "
           f"({n / dt / 1e6:.1f} Mbp/s), peak RSS {peak:.1f} GiB, "
           f"prefix_q={fm.prefix_q}, sampled SA rate 8")
-    lo, hi = fm.backward_search(text[12345:12345 + 30])
-    assert hi - lo >= 1 and fm.locate(lo) == 12345 or True
     # spot-check correctness at scale
     ok = 0
     for _ in range(20):
         p = int(rng.integers(0, n - 50))
         lo, hi = fm.backward_search(text[p : p + 40])
-        pos = {fm.locate(r) for r in range(lo, min(hi, lo + 4))}
-        ok += int(p in pos or hi - lo > 4)
+        pos = {fm.locate(r) for r in range(lo, hi)}
+        ok += int(p in pos)
     assert ok == 20, f"only {ok}/20 spot checks passed"
     print("[index-1g] 20/20 search+locate spot checks passed")
 
