@@ -103,26 +103,25 @@ def minimizer_select_dev(mix: jnp.ndarray, valid: jnp.ndarray,
     return sel & valid
 
 
-def _count_rows(filter_words, rows_idx, lanes_valid, n_hashes):
+def _count_rows(filter_words, rows_by_hash, lanes_valid):
     """AND the hash rows per lane and unpack to per-bin counts.
 
-    rows_idx: (R, M, h) int32; lanes_valid: (R, M) bool; returns (R, Wd*32).
-    Gathers run on FLAT 1-D arrays and the hash-AND uses strided slices:
-    a (R, M, h, Wd) gather output has a tiny minor axis that TPU layout
-    pads to 128 lanes — at config-2 shapes that was a 44x (8.5 GiB)
-    HLO-temp expansion. 1-D tensors tile densely.
+    rows_by_hash: per-hash FLAT (R*M,) int32 row ids; lanes_valid: (R, M)
+    bool; returns (R, Wd, 32). Every tensor here is 1-D or has a >=32 minor
+    axis: a (R, M, h, ...) layout with the tiny hash minor axis pads to 128
+    lanes under TPU tiling — at config-2 whole-batch shapes that was a 42x
+    (34 GiB) materialized gather operand. 1-D tensors tile densely.
     """
-    R, M, h = rows_idx.shape
+    R, M = lanes_valid.shape
     Wd = filter_words.shape[1]
-    flat_idx = rows_idx.reshape(-1)                        # (R*M*h,)
     vflat = lanes_valid.reshape(-1)
     shifts = jnp.arange(32, dtype=jnp.uint32)
     outs = []
     for w in range(Wd):
-        gw = jnp.take(filter_words[:, w], flat_idx)        # (R*M*h,) 1-D
-        anded = gw[0::h]
-        for j in range(1, h):
-            anded = anded & gw[j::h]                       # (R*M,)
+        anded = None
+        for rj in rows_by_hash:
+            gw = jnp.take(filter_words[:, w], rj)          # (R*M,) 1-D
+            anded = gw if anded is None else (anded & gw)
         anded = jnp.where(vflat, anded, jnp.uint32(0)).reshape(R, M)
         bits = ((anded[:, :, None] >> shifts) & 1).astype(jnp.int32)
         outs.append(bits.sum(axis=1, dtype=jnp.int32))     # (R, 32)
@@ -159,10 +158,16 @@ def ibf_bin_counts(filter_words: jnp.ndarray, reads: jnp.ndarray,
         mix, valid, n_sel = cmix, lanes_valid, total
     else:
         n_sel = valid.sum(axis=1, dtype=jnp.int32)
-    seeds = jnp.asarray(HASH_SEEDS[:n_hashes])
-    v = _fmix32(mix[:, :, None] ^ seeds[None, None, :])        # (R, m, h)
-    rows = (v & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32) % jnp.int32(n_rows)
-    counts = _count_rows(filter_words, rows, valid, n_hashes)  # (R, Wd, 32)
+    # per-hash FLAT row ids (bit-identical math to index/hashing.py); the
+    # hash axis stays a Python loop so no tensor carries it as a tiny
+    # TPU-tiled minor dimension
+    mixf = mix.reshape(-1)                                     # (R*m,)
+    rows_by_hash = []
+    for j in range(n_hashes):
+        vj = _fmix32(mixf ^ jnp.uint32(HASH_SEEDS[j]))
+        rows_by_hash.append(
+            (vj & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32) % jnp.int32(n_rows))
+    counts = _count_rows(filter_words, rows_by_hash, valid)    # (R, Wd, 32)
     return counts.reshape(R, -1), n_sel
 
 

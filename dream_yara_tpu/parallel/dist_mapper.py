@@ -53,6 +53,9 @@ class MeshMapOut(NamedTuple):
     n_spilled: jnp.ndarray    # (B, D) int32 verify-lane spills per bin/shard
     route_overflow: jnp.ndarray  # (B, D) int32 reads beyond R_cap per bin/shard
     route_words: jnp.ndarray  # (n_pad, ceil(Bp/32)) uint32 routing bits
+    ovf_rows: jnp.ndarray     # (B, D*2*r_cap) bool: seed-hit overflow per
+                              # ROUTED SLOT ROW (fwd rows then rc rows) — lets
+                              # the host fall back per READ instead of per bin
 
 
 META_DIST_SHIFT = 18
@@ -146,8 +149,10 @@ def build_mesh_dream_step(mesh: Mesh, *, half_loc: int, L: int, B: int,
             meta = (out.row
                     | (jnp.clip(out.dist, 0, 31) << META_DIST_SHIFT)
                     | (out.ok.astype(jnp.int32) << META_OK_SHIFT))
+            # per seq-row seed overflow (seeds are (R2, ns) row-major)
+            ovf_row = out.overflow.reshape(2 * r_cap, -1).sum(axis=1) > 0
             return None, (out.begin, out.end, meta, out.overflow_total,
-                          out.n_spilled, route_ovf)
+                          out.n_spilled, route_ovf, ovf_row)
 
         fm_xs = DeviceFM(
             bwt_blocks=fmset.bwt_blocks, occ=fmset.occ, counts=fmset.counts,
@@ -156,11 +161,12 @@ def build_mesh_dream_step(mesh: Mesh, *, half_loc: int, L: int, B: int,
             sa_mark_bits=fmset.sa_mark_bits, sa_rank_ck=fmset.sa_rank_ck)
         _, ys = jax.lax.scan(map_one_bin, None,
                              (fm_xs, local_cols.T.astype(bool)))
-        begin, end, meta, ovf, spill, route_ovf = ys
+        begin, end, meta, ovf, spill, route_ovf, ovf_rows = ys
         return MeshMapOut(
             begin=begin, end=end, meta=meta,
             overflow_total=ovf[:, None], n_spilled=spill[:, None],
-            route_overflow=route_ovf[:, None], route_words=route_words)
+            route_overflow=route_ovf[:, None], route_words=route_words,
+            ovf_rows=ovf_rows)
 
     fm_specs = DeviceFM(
         bwt_blocks=P("bin"), occ=P("bin"), counts=P("bin"), sa=P("bin"),
@@ -184,7 +190,7 @@ def build_mesh_dream_step(mesh: Mesh, *, half_loc: int, L: int, B: int,
             begin=P("bin", "data"), end=P("bin", "data"),
             meta=P("bin", "data"), overflow_total=P("bin", "data"),
             n_spilled=P("bin", "data"), route_overflow=P("bin", "data"),
-            route_words=P("data")),
+            route_words=P("data"), ovf_rows=P("bin", "data")),
         check_vma=False)
     return jax.jit(sharded)
 

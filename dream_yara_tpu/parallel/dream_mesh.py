@@ -118,26 +118,35 @@ class MeshDreamMapper:
         sens = opts.sensitivity
         for b in range(index.n_bins):
             off = int(index.contigs.bin_starts[b])
-            bad = (int(out.n_spilled[b].sum()) > 0
-                   or int(out.route_overflow[b].sum()) > 0
-                   or (int(out.overflow_total[b].sum()) > 0 and sens != "low"))
             ids_b = np.flatnonzero(routing[:, b])
             if len(ids_b) == 0:
                 continue
-            if bad:
-                # a fixed capacity overflowed somewhere for this bin:
-                # re-map its routed subset through the exact single-chip
-                # path (completeness / byte-equality, never silent drops)
-                with timers.stage("mesh overflow fallback (host)"):
-                    bm = index.bin_mapper(b, opts, timers)
-                    m = bm.map_batch(_sub_batch(batch, ids_b))
-                    m.begin += off
-                    m.end += off
-                    m.read_id = ids_b[m.read_id].astype(np.int32)
-                    parts.append(m)
+            if int(out.n_spilled[b].sum()) > 0:
+                # verify-lane compaction spilled (rare at cap2v = 2 lanes per
+                # routed read): re-map the bin's routed subset through the
+                # exact single-chip path (byte-equality, never silent drops)
+                with timers.stage("mesh spill fallback (host)"):
+                    self._fallback(batch, b, ids_b, off, parts, timers)
                 continue
+            # surgical per-READ fallback: only reads whose seed hits
+            # overflowed `capacity` (they need the repetitive/full pass) or
+            # that arrived after r_cap slots filled (route overflow) re-map
+            # through the single-chip BinMapper; everything else keeps its
+            # mesh matches — the two extra single-chip passes only ever add
+            # matches for overflowing rows, so per-read granularity preserves
+            # byte-equality with the single-device DREAM pipeline.
+            fb_mask = np.zeros(n, dtype=bool)
             with timers.stage("mesh collect (host)"):
                 for d in range(D):
+                    lo_ids = ids_b[(ids_b >= d * half_loc)
+                                   & (ids_b < (d + 1) * half_loc)]
+                    if len(lo_ids) > r_cap:            # route overflow
+                        fb_mask[lo_ids[r_cap:]] = True
+                    kslot = min(len(lo_ids), r_cap)
+                    if sens != "low":
+                        ovf = out.ovf_rows[b, d * cap2v : (d + 1) * cap2v]
+                        slot_ovf = ovf[:r_cap] | ovf[r_cap:]   # fwd | rc row
+                        fb_mask[lo_ids[:kslot][slot_ovf[:kslot]]] = True
                     meta = out.meta[b, d * cap2v : (d + 1) * cap2v]
                     ok = (meta.view(np.uint32) >> 31) > 0
                     if not ok.any():
@@ -149,15 +158,29 @@ class MeshDreamMapper:
                     end = out.end[b, d * cap2v : (d + 1) * cap2v][ok]
                     slot = subrow % r_cap
                     strand = (subrow // r_cap).astype(np.int8)
-                    lo_ids = ids_b[(ids_b >= d * half_loc)
-                                   & (ids_b < (d + 1) * half_loc)]
                     read_id = lo_ids[slot]
-                    parts.append(Matches(
-                        read_id=read_id.astype(np.int32), strand=strand,
-                        begin=begin.astype(np.int64) + off,
-                        end=end.astype(np.int64) + off,
-                        dist=dist))
+                    keep = ~fb_mask[read_id]           # fallback reads: the
+                    parts.append(Matches(               # re-map is exhaustive
+                        read_id=read_id[keep].astype(np.int32),
+                        strand=strand[keep],
+                        begin=begin[keep].astype(np.int64) + off,
+                        end=end[keep].astype(np.int64) + off,
+                        dist=dist[keep]))
+            fb_ids = np.flatnonzero(fb_mask)
+            if len(fb_ids):
+                with timers.stage("mesh overflow fallback (host)"):
+                    self._fallback(batch, b, fb_ids, off, parts, timers)
         return Matches.concat(parts)
+
+    def _fallback(self, batch: ReadBatch, b: int, ids: np.ndarray, off: int,
+                  parts: list[Matches], timers: StageTimers) -> None:
+        """Re-map a read subset of bin b through the exact single-chip path."""
+        bm = self.index.bin_mapper(b, self.opts, timers)
+        m = bm.map_batch(_sub_batch(batch, ids))
+        m.begin += off
+        m.end += off
+        m.read_id = ids[m.read_id].astype(np.int32)
+        parts.append(m)
 
 
 def mesh_dream_sam(mapper: MeshDreamMapper, batch: ReadBatch,

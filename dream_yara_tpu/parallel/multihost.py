@@ -259,7 +259,7 @@ class MultiHostDreamMapper:
                 begin=P("bin", "data"), end=P("bin", "data"),
                 meta=P("bin", "data"), overflow_total=P("bin", "data"),
                 n_spilled=P("bin", "data"), route_overflow=P("bin", "data"),
-                route_words=P("data"))
+                route_words=P("data"), ovf_rows=P("bin", "data"))
             out = MeshMapOut(*(np.asarray(
                 mh.global_array_to_host_local_array(x, self.mesh, sp))
                 for x, sp in zip(out, specs)))
@@ -274,21 +274,28 @@ class MultiHostDreamMapper:
             ids_b = np.flatnonzero(routing[:, b])
             if len(ids_b) == 0:
                 continue
-            bad = (int(out.n_spilled[bl].sum()) > 0
-                   or int(out.route_overflow[bl].sum()) > 0
-                   or (int(out.overflow_total[bl].sum()) > 0 and sens != "low"))
-            if bad:
-                # the owning host re-maps on its single-chip path
-                with timers.stage("mesh overflow fallback (host)"):
-                    bm = self._bin_mapper(b)
-                    m = bm.map_batch(_sub_batch(batch, ids_b))
-                    m.begin += off
-                    m.end += off
-                    m.read_id = ids_b[m.read_id].astype(np.int32)
-                    local_parts.append(m)
+            if int(out.n_spilled[bl].sum()) > 0:
+                # verify-lane spill (rare): the owning host re-maps the whole
+                # routed subset on its single-chip path
+                with timers.stage("mesh spill fallback (host)"):
+                    self._host_fallback(batch, b, ids_b, off, local_parts)
                 continue
+            # per-READ fallback for seed-capacity / route-capacity overflow
+            # (same surgical scheme as parallel/dream_mesh.py: the single-chip
+            # extra passes only add matches for overflowing rows, so per-read
+            # granularity keeps the merged set byte-identical)
+            fb_mask = np.zeros(n, dtype=bool)
             with timers.stage("mesh collect (host)"):
                 for d in range(D):
+                    lo_ids = ids_b[(ids_b >= d * half_loc)
+                                   & (ids_b < (d + 1) * half_loc)]
+                    if len(lo_ids) > r_cap:
+                        fb_mask[lo_ids[r_cap:]] = True
+                    kslot = min(len(lo_ids), r_cap)
+                    if sens != "low":
+                        ovf = out.ovf_rows[bl, d * cap2v : (d + 1) * cap2v]
+                        slot_ovf = ovf[:r_cap] | ovf[r_cap:]
+                        fb_mask[lo_ids[:kslot][slot_ovf[:kslot]]] = True
                     meta = out.meta[bl, d * cap2v : (d + 1) * cap2v]
                     ok = (meta.view(np.uint32) >> 31) > 0
                     if not ok.any():
@@ -300,16 +307,30 @@ class MultiHostDreamMapper:
                     end = out.end[bl, d * cap2v : (d + 1) * cap2v][ok]
                     slot = subrow % r_cap
                     strand = (subrow // r_cap).astype(np.int8)
-                    lo_ids = ids_b[(ids_b >= d * half_loc)
-                                   & (ids_b < (d + 1) * half_loc)]
                     read_id = lo_ids[slot]
+                    keep = ~fb_mask[read_id]
                     local_parts.append(Matches(
-                        read_id=read_id.astype(np.int32), strand=strand,
-                        begin=begin.astype(np.int64) + off,
-                        end=end.astype(np.int64) + off,
-                        dist=dist))
+                        read_id=read_id[keep].astype(np.int32),
+                        strand=strand[keep],
+                        begin=begin[keep].astype(np.int64) + off,
+                        end=end[keep].astype(np.int64) + off,
+                        dist=dist[keep]))
+            fb_ids = np.flatnonzero(fb_mask)
+            if len(fb_ids):
+                with timers.stage("mesh overflow fallback (host)"):
+                    self._host_fallback(batch, b, fb_ids, off, local_parts)
         with timers.stage("cross-host merge"):
             return allgather_matches(Matches.concat(local_parts))
+
+    def _host_fallback(self, batch: ReadBatch, b: int, ids: np.ndarray,
+                       off: int, parts: list[Matches]) -> None:
+        """Re-map a read subset of bin b through the exact single-chip path."""
+        bm = self._bin_mapper(b)
+        m = bm.map_batch(_sub_batch(batch, ids))
+        m.begin += off
+        m.end += off
+        m.read_id = ids[m.read_id].astype(np.int32)
+        parts.append(m)
 
     # --- finishing (replicated ranking, owner-computed CIGARs) -------------
 

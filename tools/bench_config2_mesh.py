@@ -20,6 +20,7 @@ from pathlib import Path
 import numpy as np
 
 sys.path.insert(0, str(Path(__file__).parent.parent))
+sys.path.insert(0, str(Path(__file__).parent))
 
 from bench_config2 import BINS, LD, LL, build_or_load, make_pairs  # noqa: E402
 
