@@ -46,6 +46,9 @@ def main(argv=None):
     from ..io.fasta import read_fasta
 
     paths = expand_bin_paths(a.bins, a.bins_dir)
+    if not paths:
+        p.error("no bin FASTA files given — pass them as positional "
+                "arguments or point --bins-dir at a directory of them")
     t0 = time.time()
     if a.filter_type == "bloom":
         filt = InterleavedBloomFilter.create(

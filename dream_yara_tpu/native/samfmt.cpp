@@ -95,7 +95,11 @@ int64_t dy_format_records(
         *p++ = '\t';
         p = put_int(p, tlen[i]);
         *p++ = '\t';
-        p = put_mem(p, seqmat + int64_t(seq_row[i]) * seq_stride, seq_len[i]);
+        if (seq_len[i] == 0) {  // secondary records carry SEQ '*'
+            *p++ = '*';
+        } else {
+            p = put_mem(p, seqmat + int64_t(seq_row[i]) * seq_stride, seq_len[i]);
+        }
         *p++ = '\t';
         int64_t ql = qual_off[i + 1] - qual_off[i];
         if (ql == 0) {

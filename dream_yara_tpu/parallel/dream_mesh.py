@@ -116,12 +116,19 @@ class MeshDreamMapper:
         D, cap2v = self.data_ax, 2 * r_cap
         parts: list[Matches] = []
         sens = opts.sensitivity
+        # diagnostics: why reads fell back (route-cap vs seed-capacity vs
+        # verify-lane spill), accumulated across batches for the bench report
+        diag = self.fallback_diag = getattr(
+            self, "fallback_diag",
+            {"spill_bins": 0, "route_ovf": 0, "seed_ovf": 0, "routed": 0})
+        diag["routed"] += int(routing.sum())
         for b in range(index.n_bins):
             off = int(index.contigs.bin_starts[b])
             ids_b = np.flatnonzero(routing[:, b])
             if len(ids_b) == 0:
                 continue
             if int(out.n_spilled[b].sum()) > 0:
+                diag["spill_bins"] += 1
                 # verify-lane compaction spilled (rare at cap2v = 2 lanes per
                 # routed read): re-map the bin's routed subset through the
                 # exact single-chip path (byte-equality, never silent drops)
@@ -142,11 +149,13 @@ class MeshDreamMapper:
                                    & (ids_b < (d + 1) * half_loc)]
                     if len(lo_ids) > r_cap:            # route overflow
                         fb_mask[lo_ids[r_cap:]] = True
+                        diag["route_ovf"] += len(lo_ids) - r_cap
                     kslot = min(len(lo_ids), r_cap)
                     if sens != "low":
                         ovf = out.ovf_rows[b, d * cap2v : (d + 1) * cap2v]
                         slot_ovf = ovf[:r_cap] | ovf[r_cap:]   # fwd | rc row
                         fb_mask[lo_ids[:kslot][slot_ovf[:kslot]]] = True
+                        diag["seed_ovf"] += int(slot_ovf[:kslot].sum())
                     meta = out.meta[b, d * cap2v : (d + 1) * cap2v]
                     ok = (meta.view(np.uint32) >> 31) > 0
                     if not ok.any():
@@ -174,8 +183,17 @@ class MeshDreamMapper:
 
     def _fallback(self, batch: ReadBatch, b: int, ids: np.ndarray, off: int,
                   parts: list[Matches], timers: StageTimers) -> None:
-        """Re-map a read subset of bin b through the exact single-chip path."""
-        bm = self.index.bin_mapper(b, self.opts, timers)
+        """Re-map a read subset of bin b through the exact single-chip path.
+
+        The BinMapper reuses this mapper's resident DeviceFMSet (an on-device
+        slice, moved to device 0 once per bin over ICI) instead of re-uploading
+        the bin index over the slow host->device tunnel; since every view
+        shares the set's padded shape, ONE XLA compile serves all bins."""
+        dev_view = lambda: jax.tree.map(
+            lambda x: jax.device_put(x, jax.devices()[0]), self.fmset.bin(b))
+        bm = self.index.bin_mapper(b, self.opts, timers, dev_factory=dev_view,
+                                   prefix_q=self.prefix_q,
+                                   sample_rate=self.sample_rate)
         m = bm.map_batch(_sub_batch(batch, ids))
         m.begin += off
         m.end += off

@@ -73,10 +73,20 @@ class DreamIndex:
         return cls(stores, fms, filt, filter_type)
 
     def bin_mapper(self, b: int, opts: MapperOptions,
-                   timers: StageTimers | None = None) -> BinMapper:
+                   timers: StageTimers | None = None,
+                   dev_factory=None, prefix_q: int | None = None,
+                   sample_rate: int | None = None) -> BinMapper:
+        """`dev_factory` (returning an on-device DeviceFM view, e.g. a
+        DeviceFMSet.bin(b) slice) is called only on first construction — it
+        spares the tunnel upload when the caller already holds the whole
+        database on device."""
         if b not in self._bin_mappers:
             self._bin_mappers[b] = BinMapper(self.stores[b], self.fms[b], opts,
-                                             timers=timers)
+                                             timers=timers,
+                                             dev=dev_factory() if dev_factory
+                                             else None,
+                                             prefix_q=prefix_q,
+                                             sample_rate=sample_rate)
         bm = self._bin_mappers[b]
         if timers is not None:
             bm.timers = timers

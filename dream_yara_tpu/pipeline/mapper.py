@@ -37,11 +37,19 @@ class BinMapper:
     """Maps read batches against ONE bin (local coordinates)."""
 
     def __init__(self, store: SeqStore, fm: FMIndex, opts: MapperOptions,
-                 timers: StageTimers | None = None):
+                 timers: StageTimers | None = None, dev: DeviceFM | None = None,
+                 prefix_q: int | None = None, sample_rate: int | None = None):
+        """`dev` lets callers that already hold the bin's index on device
+        (e.g. the mesh driver's DeviceFMSet) pass an on-device view instead
+        of re-uploading through the host->device tunnel. `prefix_q` /
+        `sample_rate` must then describe THAT layout (a stacked set uses the
+        common q / rate over bins, which can differ from this bin's own)."""
         self.store = store
         self.fm = fm
         self.opts = opts
-        self.dev = DeviceFM.from_host(fm, store.text)
+        self.dev = DeviceFM.from_host(fm, store.text) if dev is None else dev
+        self.prefix_q = fm.prefix_q if prefix_q is None else prefix_q
+        self.sample_rate = fm.sample_rate if sample_rate is None else sample_rate
         self.timers = timers or StageTimers()
         from .map_step import use_pallas_default
         self.use_pallas = use_pallas_default()
@@ -72,11 +80,11 @@ class BinMapper:
         from .map_step import (pack_reads_fwd, single_bin_map_step_packed,
                                unbundle_out)
 
-        prefix_q = self.fm.prefix_q if self.dev.pfx_lo is not None else 0
+        prefix_q = self.prefix_q if self.dev.pfx_lo is not None else 0
         step_kw = dict(rate_ppm=rate_ppm, max_errors=max_err,
                        capacity=capacity, max_slen=max_slen,
                        prefix_q=prefix_q, use_pallas=self.use_pallas,
-                       sample_rate=self.fm.sample_rate)
+                       sample_rate=self.sample_rate)
 
         # launch all chunks first (async dispatch), then drain results.
         # uploads are 2-bit-packed fwd rows (~9x smaller — the tunnel's

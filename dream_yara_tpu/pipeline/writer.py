@@ -131,12 +131,87 @@ def _write_se_native(batch: ReadBatch, contigs: GlobalContigs, ranked,
 
     rnext = np.full(n, -1, dtype=np.int32)
     zeros = np.zeros(n, dtype=np.int64)
+
+    if secondary_mode == "record":
+        rec, rec_read, is_sec, mj = _expand_secondary(
+            n, mapped, grp_start, grp_end, prim,
+            np.zeros(n, dtype=np.int32), m,
+            cid_all, lpos_all, cigars,
+            flag, rname, pos1, mapq, rnext, zeros, zeros,
+            seq_row, seq_len, qual_rev, nm)
+        names_enc = [s.encode() for s in batch.names]
+        names_b, name_off = samfmt.pack_strs(
+            [names_enc[r] for r in rec_read])
+        cig_b, cig_off = samfmt.pack_strs(
+            [cigars[mj[i]].encode() if is_sec[i]
+             else (cigars[prim[r]].encode() if mapped[r] else b"")
+             for i, r in enumerate(rec_read)])
+        quals_b, qual_off = samfmt.pack_strs(
+            [b"" if is_sec[i] else batch.quals[r]
+             for i, r in enumerate(rec_read)])
+        extra_b, extra_off = samfmt.pack_strs([b""] * len(rec_read))
+        has_nm = np.where(is_sec, 1, mapped[rec_read]).astype(np.uint8)
+        text = samfmt.format_records(
+            names_b, name_off, rec["flag"], rec["rname"], rec["pos1"],
+            rec["mapq"], cig_b, cig_off, rec["rnext"], rec["pnext"],
+            rec["tlen"], seqmat, rec["seq_row"], rec["seq_len"],
+            quals_b, qual_off, rec["qual_rev"], has_nm, rec["nm"],
+            extra_b, extra_off, cnames_b, cname_off)
+        return text.decode().splitlines()
+
     text = samfmt.format_records(
         names_b, name_off, flag, rname, pos1, mapq, cig_b, cig_off,
         rnext, zeros, zeros, seqmat, seq_row, seq_len,
         quals_b, qual_off, qual_rev, mapped.astype(np.uint8), nm,
         extra_b, extra_off, cnames_b, cname_off)
     return text.decode().splitlines()
+
+
+def _expand_secondary(n, mapped, grp_start, grp_end, prim, sec_flag_base,
+                      m, cid_all, lpos_all, cigars,
+                      flag, rname, pos1, mapq, rnext, pnext, tlen,
+                      seq_row, seq_len, qual_rev, nm):
+    """Interleave secondary records (-sm record) after each read's primary.
+
+    Returns the record-level field arrays plus `rec_read` (owning read of
+    each record), `is_sec`, and `mj` (match row of each secondary). The
+    secondary fields follow the reference convention [U]: MAPQ 0, RNEXT '*',
+    PNEXT/TLEN 0, SEQ/QUAL '*' (seq_len 0 + empty qual), own CIGAR and NM,
+    flag = per-read base | RC-of-that-match | SECONDARY.
+    """
+    n_sec = np.where(mapped, np.maximum(grp_end - grp_start - 1, 0), 0)
+    counts = 1 + n_sec
+    total = int(counts.sum())
+    rec_read = np.repeat(np.arange(n), counts)
+    offs = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(counts, out=offs[1:])
+    j = np.arange(total) - offs[rec_read]          # 0 = the primary record
+    is_sec = j > 0
+    base = grp_start[rec_read] + j - 1
+    prim_c = np.where(mapped, prim, 0)[rec_read]
+    mj = np.where(base >= prim_c, base + 1, base)  # group rows skipping prim
+    mj = np.where(is_sec, mj, 0)
+
+    sec_flag = (sec_flag_base[rec_read]
+                | (m.strand[mj].astype(np.int32) * FLAG_RC if len(m)
+                   else 0) | FLAG_SECONDARY)
+    r = rec_read
+    out = dict(
+        flag=np.where(is_sec, sec_flag, flag[r]).astype(np.int32),
+        rname=np.where(is_sec, cid_all[mj] if len(m) else 0,
+                       rname[r]).astype(np.int32),
+        pos1=np.where(is_sec, (lpos_all[mj] + 1) if len(m) else 0,
+                      pos1[r]).astype(np.int64),
+        mapq=np.where(is_sec, 0, mapq[r]).astype(np.int32),
+        rnext=np.where(is_sec, -1, rnext[r]).astype(np.int32),
+        pnext=np.where(is_sec, 0, pnext[r]).astype(np.int64),
+        tlen=np.where(is_sec, 0, tlen[r]).astype(np.int64),
+        seq_row=np.where(is_sec, 0, seq_row[r]).astype(np.int32),
+        seq_len=np.where(is_sec, 0, seq_len[r]).astype(np.int32),
+        qual_rev=np.where(is_sec, 0, qual_rev[r]).astype(np.uint8),
+        nm=np.where(is_sec, m.dist[mj] if len(m) else 0, nm[r]).astype(np.int32),
+    )
+    return out, rec_read, is_sec, mj
 
 
 def _write_pe_native(batch: ReadBatch, contigs: GlobalContigs, ranked,
@@ -224,6 +299,37 @@ def _write_pe_native(batch: ReadBatch, contigs: GlobalContigs, ranked,
     extra_b, extra_off = samfmt.pack_strs(extras)
     cnames_b, cname_off = samfmt.pack_strs([s.encode() for s in contigs.names])
 
+    if secondary_mode == "record":
+        sec_base = (np.full(n, FLAG_PAIRED, dtype=np.int32)
+                    | np.where(ids < h, FLAG_FIRST, FLAG_LAST)
+                    | np.where(mate_mapped, 0, FLAG_MATE_UNMAPPED)
+                    | mate_strand * FLAG_MATE_RC)
+        rec, rec_read, is_sec, mj = _expand_secondary(
+            n, mapped, grp_start, grp_end, prim, sec_base, m,
+            cid_all if has_m else np.zeros(0, np.int64),
+            lpos_all if has_m else np.zeros(0, np.int64), cigars,
+            flag, rname, pos1, mapq, rnext, pnext, tlen,
+            seq_row, seq_len, qual_rev, nm)
+        names_enc = [s.encode() for s in batch.names]
+        names_b, name_off = samfmt.pack_strs(
+            [names_enc[r] for r in rec_read])
+        cig_b, cig_off = samfmt.pack_strs(
+            [cigars[mj[i]].encode() if is_sec[i]
+             else (cigars[prim[r]].encode() if mapped[r] else b"")
+             for i, r in enumerate(rec_read)])
+        quals_b, qual_off = samfmt.pack_strs(
+            [b"" if is_sec[i] else batch.quals[r]
+             for i, r in enumerate(rec_read)])
+        extra_b, extra_off = samfmt.pack_strs([b""] * len(rec_read))
+        has_nm = np.where(is_sec, 1, mapped[rec_read]).astype(np.uint8)
+        text = samfmt.format_records(
+            names_b, name_off, rec["flag"], rec["rname"], rec["pos1"],
+            rec["mapq"], cig_b, cig_off, rec["rnext"], rec["pnext"],
+            rec["tlen"], seqmat, rec["seq_row"], rec["seq_len"],
+            quals_b, qual_off, rec["qual_rev"], has_nm, rec["nm"],
+            extra_b, extra_off, cnames_b, cname_off)
+        return text.decode().splitlines()
+
     text = samfmt.format_records(
         names_b, name_off, flag, rname, pos1, mapq, cig_b, cig_off,
         rnext, pnext, tlen, seqmat, seq_row, seq_len,
@@ -256,15 +362,14 @@ def write_pe_records(batch: ReadBatch, contigs: GlobalContigs, ranked,
     """
     from .mapq import compute_mapq
 
-    if secondary_mode in ("tag", "omit"):
-        try:
-            from ..native import samfmt
+    try:
+        from ..native import samfmt
 
-            if samfmt.available():
-                return _write_pe_native(batch, contigs, ranked, cigars,
-                                        pair_info, secondary_mode, samfmt)
-        except ImportError:
-            pass
+        if samfmt.available():
+            return _write_pe_native(batch, contigs, ranked, cigars,
+                                    pair_info, secondary_mode, samfmt)
+    except ImportError:
+        pass
 
     m = ranked.matches
     mapq = compute_mapq(ranked.c1, ranked.c2)
@@ -369,15 +474,14 @@ def write_se_records(batch: ReadBatch, contigs: GlobalContigs, ranked,
     """
     from .mapq import compute_mapq
 
-    if secondary_mode in ("tag", "omit"):
-        try:
-            from ..native import samfmt
+    try:
+        from ..native import samfmt
 
-            if samfmt.available():
-                return _write_se_native(batch, contigs, ranked, cigars,
-                                        secondary_mode, samfmt)
-        except ImportError:
-            pass
+        if samfmt.available():
+            return _write_se_native(batch, contigs, ranked, cigars,
+                                    secondary_mode, samfmt)
+    except ImportError:
+        pass
     return _write_se_python(batch, contigs, ranked, cigars, secondary_mode)
 
 

@@ -106,7 +106,7 @@ def test_native_sam_formatter_matches_python(rng):
     batch = ReadBatch.from_reads([f"r{i}" for i in range(31)], reads)
     opts = MapperOptions(error_rate=0.05, secondary_matches="tag")
     ranked, cigars, contigs = map_single_bin(store, fm, batch, opts)
-    for mode in ("tag", "omit"):
+    for mode in ("tag", "omit", "record"):
         want = _write_se_python(batch, contigs, ranked, cigars, mode)
         got = write_se_records(batch, contigs, ranked, cigars, mode)
         assert got == want, mode
@@ -147,7 +147,7 @@ def test_native_pe_formatter_matches_python(rng):
     opts = MapperOptions(error_rate=0.05, library_length=300,
                          library_deviation=60)
     ranked, cigars, contigs, pi = map_paired_bin(store, fm, batch, opts)
-    for mode in ("tag", "omit"):
+    for mode in ("tag", "omit", "record"):
         want = W.write_pe_records.__wrapped__(batch, contigs, ranked, cigars, pi, mode) \
             if hasattr(W.write_pe_records, "__wrapped__") else None
         # call the python path by monkeypatching availability

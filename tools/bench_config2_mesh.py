@@ -72,6 +72,8 @@ def main():
     total_reads = 2 * n_pairs
     assert n_rec >= total_reads
     print(timers.report(), file=sys.stderr)
+    print(f"[c2m] fallback diag: {getattr(mapper, 'fallback_diag', {})}",
+          file=sys.stderr)
     mapped = stats.get("mapped", 0)
     pp = stats.get("proper_pairs", 0)
     print(f"[c2m] mapped {mapped}/{total_reads} "
