@@ -50,15 +50,20 @@ def build_or_load():
             fm.save(fp)
             stores.append(st)
             fms.append(fm)
-    ip = CACHE / "ibf.npz"
+    # 2^31 bits / 64 padded cols = 33.5M bits per bin for 5.8M 19-mers
+    # (~5.8 bits/kmer, 3 hashes -> per-kmer FP ~7%; at the k-mer-lemma
+    # threshold of ~37 of 132 kmers the per-bin FP routing rate is ~0).
+    # The old 2^27 filter was saturated (0.36 bits/kmer): every read routed
+    # to every bin, hiding the IBF's entire selectivity win.
+    ip = CACHE / "ibf2.npz"
     if ip.exists():
-        ibf = InterleavedBloomFilter.load(CACHE / "ibf")
+        ibf = InterleavedBloomFilter.load(CACHE / "ibf2")
     else:
-        ibf = InterleavedBloomFilter.create(BINS, size_bits=1 << 27,
+        ibf = InterleavedBloomFilter.create(BINS, size_bits=1 << 31,
                                             n_hashes=3, k=19)
         for b, g in enumerate(genomes):
             ibf.add_kmers(g, b)
-        ibf.save(CACHE / "ibf")
+        ibf.save(CACHE / "ibf2")
     print(f"[c2] db ready: {time.time() - t0:.1f}s", file=sys.stderr)
     return genomes, DreamIndex(stores, fms, ibf, "bloom")
 

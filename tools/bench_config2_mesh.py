@@ -39,7 +39,7 @@ def main():
 
     n_pairs = int(sys.argv[1]) if len(sys.argv) > 1 else 250_000
     r_cap = int(sys.argv[2]) if len(sys.argv) > 2 else 40_960
-    batch_pairs = 125_000
+    batch_pairs = min(125_000, n_pairs)
     genomes, index = build_or_load()
     opts = MapperOptions(error_rate=0.03, library_length=LL,
                          library_deviation=LD, secondary_matches="tag")
