@@ -128,19 +128,24 @@ class InterleavedBloomFilter:
 
     @staticmethod
     def minimizer_threshold(n_minis: int, k: int, w: int, errors: int) -> int:
-        """Minimizer-mode routing threshold: t = n_minis - e * D with
-        D = ceil(k / (w-k+1)) + 2 destroyed minimizers per error (an error
-        invalidates the k k-mers covering it — about k/W0 window-groups —
-        and can additionally reshuffle the selection at both flanks).
+        """Minimizer-mode routing threshold: t = n_minis - e * 2D with
+        D = ceil(k / (w-k+1)) + 2. Each error both DESTROYS up to ~D genome
+        minimizers (it invalidates the k k-mers covering it — about k/W0
+        window-groups — and can reshuffle the selection at both flanks) and
+        CREATES up to ~D new read minimizers that are absent from the filter
+        but counted in n_minis; both effects widen the count deficit, hence
+        the symmetric 2D slack. (t = n_minis - e*D lost ~0.1% of true routes
+        on 150bp e=3% reads; every miss becomes a mate-rescue device sweep,
+        far costlier than the FP routes the extra slack admits.)
 
         Unlike the k-mer lemma this bound is PROBABILISTIC (a pathological
         error placement can destroy more minimizers than D — the hard
-        no-false-negative guarantee requires w == k); D covers the expected
-        case with margin, matching the practical minimizer-filter tools.
+        no-false-negative guarantee requires w == k); FP routing is
+        controlled by filter sizing (bits/kmer), not the threshold.
         See docs/OUTPUT_CONTRACT.md."""
         W0 = max(w - k + 1, 1)
         D = -(-k // W0) + 2
-        return max(1, n_minis - errors * D)
+        return max(1, n_minis - errors * 2 * D)
 
     # --- serialization ---
 

@@ -178,7 +178,7 @@ def classify_thresholds(lengths2, n_sel, k: int, window: int, rate_ppm: int):
     if window > k:
         W0 = max(window - k + 1, 1)
         D = -(-k // W0) + 2
-        return jnp.maximum(n_sel - e * D, 1)
+        return jnp.maximum(n_sel - e * 2 * D, 1)
     return jnp.maximum((lengths2 - k + 1) - k * e, 1)
 
 

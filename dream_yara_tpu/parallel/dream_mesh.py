@@ -210,3 +210,45 @@ def mesh_dream_sam(mapper: MeshDreamMapper, batch: ReadBatch,
     m = mapper.map_batch(batch, timers)
     return _finish_batch(mapper.index, batch, m, mapper.opts, cmdline, timers,
                          header, stats)
+
+
+def mesh_dream_stream(mapper: MeshDreamMapper, batches,
+                      cmdline: str = "", timers: StageTimers | None = None,
+                      stats: dict | None = None):
+    """Yield SAM text per batch, overlapping the mesh device step of batch
+    i+1 with host finishing (rank/dedup, rescue, CIGAR, SAM) of batch i —
+    the mesh edition of pipeline/dis_mapper.dream_map_stream (SURVEY.md
+    §2.10 pipeline-parallelism row). A worker thread drives uploads +
+    mesh dispatch + collect; the main thread consumes finished match sets.
+    Queue(maxsize=1) bounds device-side lookahead to one in-flight batch."""
+    import threading
+    from queue import Queue
+
+    timers = timers or StageTimers()
+    q: Queue = Queue(maxsize=1)
+    sentinel = object()
+    err: list[BaseException] = []
+
+    def device_worker():
+        try:
+            for batch in batches:
+                m = mapper.map_batch(batch, timers)
+                q.put((batch, m))
+        except BaseException as e:
+            err.append(e)
+        finally:
+            q.put(sentinel)
+
+    t = threading.Thread(target=device_worker, daemon=True)
+    t.start()
+    first = True
+    while True:
+        item = q.get()
+        if item is sentinel:
+            if err:
+                raise err[0]
+            return
+        batch, m = item
+        yield _finish_batch(mapper.index, batch, m, mapper.opts, cmdline,
+                            timers, header=first, stats=stats)
+        first = False

@@ -169,3 +169,22 @@ def test_mesh_no_filter_dense(db_and_reads):
     ref = dream_map_sam(index_none, batch, opts)
     mapper = MeshDreamMapper(index_none, opts, n_devices=8)
     assert mesh_dream_sam(mapper, batch) == ref
+
+
+def test_mesh_stream_matches_per_batch(db_and_reads):
+    """mesh_dream_stream (device/host-overlapped) yields the same SAM bytes
+    as per-batch mesh_dream_sam calls, headers and stats included."""
+    from dream_yara_tpu.parallel.dream_mesh import mesh_dream_stream
+
+    genomes, index, batch, truth = db_and_reads
+    rng = np.random.default_rng(77)
+    b2, _ = _planted(rng, genomes, n_per_bin=4)
+    opts = MapperOptions(error_rate=0.03, secondary_matches="tag")
+    mapper = MeshDreamMapper(index, opts, n_devices=4)
+    stats_ref: dict = {}
+    ref = [mesh_dream_sam(mapper, batch, header=True, stats=stats_ref),
+           mesh_dream_sam(mapper, b2, header=False, stats=stats_ref)]
+    stats_st: dict = {}
+    got = list(mesh_dream_stream(mapper, [batch, b2], stats=stats_st))
+    assert got == ref
+    assert stats_st == stats_ref

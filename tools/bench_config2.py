@@ -55,15 +55,20 @@ def build_or_load():
     # threshold of ~37 of 132 kmers the per-bin FP routing rate is ~0).
     # The old 2^27 filter was saturated (0.36 bits/kmer): every read routed
     # to every bin, hiding the IBF's entire selectivity win.
-    ip = CACHE / "ibf2.npz"
+    # DY_C2_WINDOW > k enables minimizer winnowing (build AND query select
+    # the same minimizers): ~4x fewer classify gather indices per read.
+    import os
+    window = int(os.environ.get("DY_C2_WINDOW", "0"))
+    name = f"ibf2w{window}" if window else "ibf2"
+    ip = CACHE / f"{name}.npz"
     if ip.exists():
-        ibf = InterleavedBloomFilter.load(CACHE / "ibf2")
+        ibf = InterleavedBloomFilter.load(CACHE / name)
     else:
         ibf = InterleavedBloomFilter.create(BINS, size_bits=1 << 31,
-                                            n_hashes=3, k=19)
+                                            n_hashes=3, k=19, window=window)
         for b, g in enumerate(genomes):
             ibf.add_kmers(g, b)
-        ibf.save(CACHE / "ibf2")
+        ibf.save(CACHE / name)
     print(f"[c2] db ready: {time.time() - t0:.1f}s", file=sys.stderr)
     return genomes, DreamIndex(stores, fms, ibf, "bloom")
 

@@ -33,7 +33,8 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from dream_yara_tpu.parallel.dream_mesh import (MeshDreamMapper,
-                                                    mesh_dream_sam)
+                                                    mesh_dream_sam,
+                                                    mesh_dream_stream)
     from dream_yara_tpu.utils.options import MapperOptions
     from dream_yara_tpu.utils.timer import StageTimers
 
@@ -61,11 +62,7 @@ def main():
     stats: dict = {}
     t0 = time.time()
     n_rec = 0
-    header = True
-    for batch in batches:
-        sam = mesh_dream_sam(mapper, batch, timers=timers, header=header,
-                             stats=stats)
-        header = False
+    for sam in mesh_dream_stream(mapper, batches, timers=timers, stats=stats):
         n_rec += sum(1 for l in sam.splitlines()
                      if l and not l.startswith("@"))
     dt = time.time() - t0
