@@ -94,13 +94,18 @@ class MeshDreamMapper:
     def map_batch(self, batch: ReadBatch,
                   timers: StageTimers | None = None) -> Matches:
         """All matches in GLOBAL int64 coordinates (like dis_map_batch)."""
+        return self.map_batch_async(batch, timers)()
+
+    def map_batch_async(self, batch: ReadBatch,
+                        timers: StageTimers | None = None):
+        """Dispatch the mesh step NOW (async), return a drain() closure that
+        fetches + collects. Dispatch-ahead callers hide batch i+1's shard
+        uploads under batch i's mesh compute (see dis_map_batch_async)."""
         timers = timers or StageTimers()
-        opts = self.opts
-        index = self.index
         n = batch.n_reads
         L = batch.max_len
-        rate_ppm = rate_to_ppm(opts.error_rate)
-        max_err = max(1, max_errors_for_batch(L, opts.error_rate))
+        rate_ppm = rate_to_ppm(self.opts.error_rate)
+        max_err = max(1, max_errors_for_batch(L, self.opts.error_rate))
         max_slen = max_seed_len_static(L, rate_ppm)
 
         blob, half_loc = pack_batch_blob(batch.seqs[:n], batch.lengths,
@@ -108,9 +113,17 @@ class MeshDreamMapper:
         r_cap = self._r_cap(half_loc)
         step = self._step(half_loc, L, r_cap, rate_ppm, max_err, max_slen)
         with timers.stage("mesh map (device)"):
-            out: MeshMapOut = step(self.fmset, self.filter_words,
-                                   jnp.asarray(blob))
-            out = MeshMapOut(*(np.asarray(x) for x in out))
+            out_dev: MeshMapOut = step(self.fmset, self.filter_words,
+                                       jnp.asarray(blob))
+        return lambda: self._collect(batch, out_dev, n, half_loc, r_cap,
+                                     timers)
+
+    def _collect(self, batch: ReadBatch, out_dev: MeshMapOut, n: int,
+                 half_loc: int, r_cap: int, timers: StageTimers) -> Matches:
+        opts = self.opts
+        index = self.index
+        with timers.stage("mesh fetch (device wait)"):
+            out = MeshMapOut(*(np.asarray(x) for x in out_dev))
 
         routing = decode_routing(out.route_words, n, self.B)
         D, cap2v = self.data_ax, 2 * r_cap
@@ -230,13 +243,25 @@ def mesh_dream_stream(mapper: MeshDreamMapper, batches,
     err: list[BaseException] = []
 
     def device_worker():
+        # dispatch-ahead: queue batch i+1's uploads + mesh compute before
+        # draining batch i (see dis_mapper.dream_map_stream)
+        prev = None
         try:
             for batch in batches:
-                m = mapper.map_batch(batch, timers)
-                q.put((batch, m))
+                cur = (batch, mapper.map_batch_async(batch, timers))
+                if prev is not None:
+                    p, prev = prev, None
+                    q.put((p[0], p[1]()))
+                prev = cur
         except BaseException as e:
             err.append(e)
         finally:
+            if prev is not None:
+                try:
+                    q.put((prev[0], prev[1]()))
+                except BaseException as e:
+                    if not err:
+                        err.append(e)
             q.put(sentinel)
 
     t = threading.Thread(target=device_worker, daemon=True)

@@ -142,10 +142,20 @@ def _sub_batch(batch: ReadBatch, ids: np.ndarray) -> ReadBatch:
 def dis_map_batch(index: DreamIndex, batch: ReadBatch, opts: MapperOptions,
                   timers: StageTimers | None = None) -> Matches:
     """Matches in GLOBAL coordinates across all candidate bins."""
+    return dis_map_batch_async(index, batch, opts, timers)()
+
+
+def dis_map_batch_async(index: DreamIndex, batch: ReadBatch,
+                        opts: MapperOptions,
+                        timers: StageTimers | None = None):
+    """Dispatch all per-bin device work for the batch (async), return a
+    drain() closure producing the merged global Matches. Dispatching batch
+    i+1 before draining batch i hides its host->device upload (fixed
+    per-transfer tunnel cost) under batch i's compute."""
     timers = timers or StageTimers()
     with timers.stage("ibf classify"):
         routing = classify_reads(index, batch, opts, timers)
-    parts: list[Matches] = []
+    drains: list[tuple[int, np.ndarray, object]] = []
     for b in range(index.n_bins):
         ids = np.flatnonzero(routing[:, b])
         if len(ids) == 0:
@@ -153,14 +163,21 @@ def dis_map_batch(index: DreamIndex, batch: ReadBatch, opts: MapperOptions,
         with timers.stage("per-bin subset prep (host)"):
             sub = _sub_batch(batch, ids)
             bm = index.bin_mapper(b, opts, timers)
-        m = bm.map_batch(sub)
-        # copyMatches [U]: bin-local -> global coords + batch read ids
-        off = int(index.contigs.bin_starts[b])
-        m.begin += off
-        m.end += off
-        m.read_id = ids[m.read_id].astype(np.int32)
-        parts.append(m)
-    return Matches.concat(parts)
+        drains.append((b, ids, bm.map_batch_async(sub)))
+
+    def drain() -> Matches:
+        parts: list[Matches] = []
+        for b, ids, d in drains:
+            m = d()
+            # copyMatches [U]: bin-local -> global coords + batch read ids
+            off = int(index.contigs.bin_starts[b])
+            m.begin += off
+            m.end += off
+            m.read_id = ids[m.read_id].astype(np.int32)
+            parts.append(m)
+        return Matches.concat(parts)
+
+    return drain
 
 
 def _rescue_global(index: DreamIndex, batch: ReadBatch, ranked: Ranked,
@@ -223,13 +240,28 @@ def dream_map_stream(index: DreamIndex, batches, opts: MapperOptions,
     err: list[BaseException] = []
 
     def device_worker():
+        # dispatch-ahead double buffering: batch i+1's uploads + compute
+        # are queued on the device BEFORE batch i's results are drained,
+        # so the fixed per-transfer tunnel cost rides under compute
+        prev = None
         try:
             for batch in batches:
-                m = dis_map_batch(index, batch, opts, timers)
-                q.put((batch, m))
+                cur = (batch, dis_map_batch_async(index, batch, opts, timers))
+                if prev is not None:
+                    p, prev = prev, None
+                    q.put((p[0], p[1]()))
+                prev = cur
         except BaseException as e:
             err.append(e)
         finally:
+            if prev is not None:
+                # a reader/dispatch error must not drop the completed
+                # in-flight batch: drain and deliver it first
+                try:
+                    q.put((prev[0], prev[1]()))
+                except BaseException as e:
+                    if not err:
+                        err.append(e)
             q.put(sentinel)
 
     t = threading.Thread(target=device_worker, daemon=True)

@@ -56,6 +56,15 @@ class BinMapper:
 
     def map_batch(self, batch: ReadBatch, capacity: int = 8) -> Matches:
         """All matches (bin-local global-text coords)."""
+        return self.map_batch_async(batch, capacity)()
+
+    def map_batch_async(self, batch: ReadBatch, capacity: int = 8):
+        """Dispatch the batch's device work NOW (uploads + map-step compute
+        queued async), return a drain() closure that blocks, fetches and
+        post-processes. Callers that dispatch batch i+1 before draining
+        batch i hide the fixed per-transfer tunnel cost under batch i's
+        compute (the device edition of the reference's prefetched reader,
+        SURVEY.md §2.10 pipeline-parallelism row)."""
         opts = self.opts
         rate_ppm = rate_to_ppm(opts.error_rate)
         n = batch.n_reads
@@ -104,6 +113,14 @@ class BinMapper:
                     **step_kw)
             pending.append((out, ids, blob, lens_c))
 
+        def drain():
+            return self._drain_pending(pending, batch, n, half, chunk_rows, L,
+                                       max_err, rate_ppm, step_kw)
+        return drain
+
+    def _drain_pending(self, pending, batch, n, half, chunk_rows, L,
+                       max_err, rate_ppm, step_kw) -> Matches:
+        from .map_step import single_bin_map_step_packed, unbundle_out
 
         def full_reads(ids):
             reads_c = np.full((chunk_rows, L), 4, dtype=np.int8)
