@@ -40,7 +40,7 @@ int64_t dy_format_records(
     const uint8_t* cig, const int64_t* cig_off,
     const int32_t* rnext_idx, const int64_t* pnext, const int64_t* tlen,
     const uint8_t* seqmat, int64_t seq_stride,
-    const int32_t* seq_row, const int32_t* seq_len,
+    const int32_t* seq_row, const int32_t* seq_len, int32_t seq_codes,
     const uint8_t* quals, const int64_t* qual_off, const uint8_t* qual_rev,
     const uint8_t* has_nm, const int32_t* nm,
     const uint8_t* extra, const int64_t* extra_off,
@@ -97,6 +97,12 @@ int64_t dy_format_records(
         *p++ = '\t';
         if (seq_len[i] == 0) {  // secondary records carry SEQ '*'
             *p++ = '*';
+        } else if (seq_codes) {
+            // seqmat holds 2-bit codes (0..3 ACGT, 4 N): translate while
+            // copying — saves the Python-side code_to_ascii materialization
+            static const char lut[8] = {'A', 'C', 'G', 'T', 'N', 'N', 'N', 'N'};
+            const uint8_t* s = seqmat + int64_t(seq_row[i]) * seq_stride;
+            for (int32_t k = 0; k < seq_len[i]; k++) *p++ = lut[s[k] & 7];
         } else {
             p = put_mem(p, seqmat + int64_t(seq_row[i]) * seq_stride, seq_len[i]);
         }

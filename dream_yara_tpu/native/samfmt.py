@@ -30,7 +30,7 @@ def _load():
         i32p, i32p, i64p, i32p,    # flag, rname, pos1, mapq
         i8p, i64p,                 # cigar
         i32p, i64p, i64p,          # rnext, pnext, tlen
-        i8p, ctypes.c_int64, i32p, i32p,  # seqmat, stride, row, len
+        i8p, ctypes.c_int64, i32p, i32p, ctypes.c_int32,  # seqmat/stride/row/len/codes
         i8p, i64p, i8p,            # quals, off, rev
         i8p, i32p,                 # has_nm, nm
         i8p, i64p,                 # extra
@@ -68,7 +68,8 @@ def format_records(names_b, name_off, flag, rname_idx, pos1, mapq,
                    cig_b, cig_off, rnext_idx, pnext, tlen,
                    seqmat, seq_row, seq_len,
                    quals_b, qual_off, qual_rev, has_nm, nm,
-                   extra_b, extra_off, cnames_b, cname_off) -> bytes:
+                   extra_b, extra_off, cnames_b, cname_off,
+                   seq_codes: bool = False) -> bytes:
     lib = _load()
     if lib is None:
         raise RuntimeError("native samfmt unavailable")
@@ -101,6 +102,7 @@ def format_records(names_b, name_off, flag, rname_idx, pos1, mapq,
         _p8(cig_b), _p64(cig_off),
         _p32(rnext_idx), _p64(pnext), _p64(tlen),
         _p8(seqmat), seqmat.shape[1], _p32(seq_row), _p32(seq_len),
+        int(bool(seq_codes)),
         _p8(quals_b), _p64(qual_off), _p8(qual_rev),
         _p8(has_nm), _p32(nm),
         _p8(extra_b), _p64(extra_off), _p8(cnames_b), _p64(cname_off),

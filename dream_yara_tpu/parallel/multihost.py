@@ -374,18 +374,19 @@ class MultiHostDreamMapper:
                                          opts.library_deviation)
             if jax.process_index() != 0:
                 return None
-            lines = sam_header(self.contigs, cmdline) if header else []
+            head = ("\n".join(sam_header(self.contigs, cmdline)) + "\n"
+                    if header else "")
             if batch.paired:
-                lines += write_pe_records(batch, self.contigs, ranked, cigars,
-                                          pair_info,
-                                          secondary_mode=opts.secondary_matches)
+                body = write_pe_records(batch, self.contigs, ranked, cigars,
+                                        pair_info,
+                                        secondary_mode=opts.secondary_matches)
             else:
-                lines += write_se_records(batch, self.contigs, ranked, cigars,
-                                          secondary_mode=opts.secondary_matches)
+                body = write_se_records(batch, self.contigs, ranked, cigars,
+                                        secondary_mode=opts.secondary_matches)
         if stats is not None:
             stats["reads"] = stats.get("reads", 0) + batch.n_reads
             stats["mapped"] = stats.get("mapped", 0) + int((ranked.c1 > 0).sum())
-        return "\n".join(lines) + "\n"
+        return head + body
 
     def _bin_of(self, gpos: np.ndarray) -> np.ndarray:
         b = np.searchsorted(self.contigs.bin_starts, gpos, side="right") - 1

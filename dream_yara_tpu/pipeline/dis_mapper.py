@@ -326,13 +326,15 @@ def _finish_batch(index: DreamIndex, batch: ReadBatch, m: Matches,
                                      opts.library_length,
                                      opts.library_deviation)
     with timers.stage("sam write (host)"):
-        lines = sam_header(index.contigs, cmdline) if header else []
+        head = ("\n".join(sam_header(index.contigs, cmdline)) + "\n"
+                if header else "")
         if batch.paired:
-            lines += write_pe_records(batch, index.contigs, ranked, cigars,
-                                      pair_info, secondary_mode=opts.secondary_matches)
+            body = write_pe_records(batch, index.contigs, ranked, cigars,
+                                    pair_info,
+                                    secondary_mode=opts.secondary_matches)
         else:
-            lines += write_se_records(batch, index.contigs, ranked, cigars,
-                                      secondary_mode=opts.secondary_matches)
+            body = write_se_records(batch, index.contigs, ranked, cigars,
+                                    secondary_mode=opts.secondary_matches)
 
     if stats is not None:
         stats["reads"] = stats.get("reads", 0) + batch.n_reads
@@ -343,4 +345,4 @@ def _finish_batch(index: DreamIndex, batch: ReadBatch, m: Matches,
         if pair_info is not None:
             stats["proper_pairs"] = stats.get("proper_pairs", 0) + int(
                 pair_info.proper.sum()) // 2
-    return "\n".join(lines) + "\n"
+    return head + body

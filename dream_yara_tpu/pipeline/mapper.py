@@ -317,10 +317,9 @@ def single_bin_sam(store: SeqStore, fm: FMIndex, batch: ReadBatch,
     if batch.paired:
         return paired_bin_sam(store, fm, batch, opts, cmdline)
     ranked, cigars, contigs = map_single_bin(store, fm, batch, opts)
-    lines = sam_header(contigs, cmdline)
-    lines += write_se_records(batch, contigs, ranked, cigars,
-                              secondary_mode=opts.secondary_matches)
-    return "\n".join(lines) + "\n"
+    return ("\n".join(sam_header(contigs, cmdline)) + "\n"
+            + write_se_records(batch, contigs, ranked, cigars,
+                               secondary_mode=opts.secondary_matches))
 
 
 def rescue_mates(mapper: BinMapper, batch: ReadBatch, ranked: Ranked,
@@ -396,7 +395,6 @@ def paired_bin_sam(store: SeqStore, fm: FMIndex, batch: ReadBatch,
     from .writer import write_pe_records
 
     ranked, cigars, contigs, pair_info = map_paired_bin(store, fm, batch, opts)
-    lines = sam_header(contigs, cmdline)
-    lines += write_pe_records(batch, contigs, ranked, cigars, pair_info,
-                              secondary_mode=opts.secondary_matches)
-    return "\n".join(lines) + "\n"
+    return ("\n".join(sam_header(contigs, cmdline)) + "\n"
+            + write_pe_records(batch, contigs, ranked, cigars, pair_info,
+                               secondary_mode=opts.secondary_matches))

@@ -53,21 +53,44 @@ def build_matches(row, begin, end, dist, ok, n_reads: int,
     )
 
 
+def _packable(m: Matches) -> bool:
+    """True when the sort keys fit the packed two-word layout below."""
+    if len(m) == 0:
+        return False
+    return (int(m.read_id.max()) < (1 << 20) and int(m.read_id.min()) >= 0
+            and int(m.dist.max()) < 32 and int(m.begin.min()) >= 0
+            and int(m.end.max()) < (1 << 43))
+
+
+def _order_coord(m: Matches, coord: np.ndarray, tie: np.ndarray) -> np.ndarray:
+    """Order by (read_id, strand, coord, dist, tie) via two packed uint64
+    words (2 stable passes instead of 5 — the lexsort passes dominate the
+    host rank/dedup stage at bench scale)."""
+    hi = ((m.read_id.astype(np.uint64) << np.uint64(44))
+          | (m.strand.astype(np.uint64) << np.uint64(43))
+          | coord.astype(np.uint64))
+    lo = (m.dist.astype(np.uint64) << np.uint64(43)) | tie.astype(np.uint64)
+    return np.lexsort((lo, hi))
+
+
 def dedup_matches(m: Matches) -> Matches:
     """Remove duplicates: same (read, strand, begin) or same (read, strand, end)
     keeps the lowest-distance variant (reference removeDuplicates semantics:
     sorted passes over begin- and end-coordinates [U])."""
     if len(m) == 0:
         return m
+    fast = _packable(m)
     # pass 1: unique (read, strand, begin) keeping min (dist, end)
-    order = np.lexsort((m.end, m.dist, m.begin, m.strand, m.read_id))
+    order = (_order_coord(m, m.begin, m.end) if fast else
+             np.lexsort((m.end, m.dist, m.begin, m.strand, m.read_id)))
     m = m.take(order)
     first = np.ones(len(m), dtype=bool)
     first[1:] = ((m.read_id[1:] != m.read_id[:-1]) | (m.strand[1:] != m.strand[:-1])
                  | (m.begin[1:] != m.begin[:-1]))
     m = m.take(first)
     # pass 2: unique (read, strand, end) keeping min (dist, begin)
-    order = np.lexsort((m.begin, m.dist, m.end, m.strand, m.read_id))
+    order = (_order_coord(m, m.end, m.begin) if fast else
+             np.lexsort((m.begin, m.dist, m.end, m.strand, m.read_id)))
     m = m.take(order)
     first = np.ones(len(m), dtype=bool)
     first[1:] = ((m.read_id[1:] != m.read_id[:-1]) | (m.strand[1:] != m.strand[:-1])
@@ -95,20 +118,29 @@ def rank_matches(m: Matches, n_reads: int, strata_count: int = 0) -> Ranked:
 
     strata_count s: keep matches with dist <= best + s (reference -s flag:
     all-mapping within the best stratum plus s more [U])."""
-    order = np.lexsort((m.end, m.strand, m.begin, m.dist, m.read_id))
+    if _packable(m):
+        # packed 3-pass edition of lexsort((end, strand, begin, dist, read_id))
+        w1 = (m.read_id.astype(np.uint64) << np.uint64(5)) | m.dist.astype(np.uint64)
+        w2 = (m.begin.astype(np.uint64) << np.uint64(1)) | m.strand.astype(np.uint64)
+        order = np.lexsort((m.end, w2, w1))
+    else:
+        order = np.lexsort((m.end, m.strand, m.begin, m.dist, m.read_id))
     m = m.take(order)
 
     NOBEST = np.iinfo(np.int32).max
     best = np.full(n_reads, NOBEST, dtype=np.int64)
-    np.minimum.at(best, m.read_id, m.dist.astype(np.int64))
+    if len(m):
+        # sorted by (read_id, dist, ...): each group's first row has its best
+        grp_first = np.ones(len(m), dtype=bool)
+        grp_first[1:] = m.read_id[1:] != m.read_id[:-1]
+        best[m.read_id[grp_first]] = m.dist[grp_first]
 
     keep = m.dist <= best[m.read_id] + strata_count
     m = m.take(keep)
 
-    c1 = np.zeros(n_reads, dtype=np.int32)
-    np.add.at(c1, m.read_id[m.dist == best[m.read_id]], 1)
-    c2 = np.zeros(n_reads, dtype=np.int32)
-    np.add.at(c2, m.read_id[m.dist > best[m.read_id]], 1)
+    is_best = m.dist == best[m.read_id]
+    c1 = np.bincount(m.read_id[is_best], minlength=n_reads).astype(np.int32)
+    c2 = np.bincount(m.read_id[~is_best], minlength=n_reads).astype(np.int32)
 
     primary = np.ones(len(m), dtype=bool)
     primary[1:] = m.read_id[1:] != m.read_id[:-1]

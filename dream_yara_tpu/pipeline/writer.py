@@ -80,8 +80,13 @@ def sam_header(contigs: GlobalContigs, cmdline: str = "", version: str = "0.1.0"
     return lines
 
 
+def _join(lines: list[str]) -> str:
+    """Record lines -> one SAM text block ('' when there are no records)."""
+    return "\n".join(lines) + "\n" if lines else ""
+
+
 def _write_se_native(batch: ReadBatch, contigs: GlobalContigs, ranked,
-                     cigars: list[str], secondary_mode: str, samfmt) -> list[str]:
+                     cigars: list[str], secondary_mode: str, samfmt) -> str:
     """Vectorized field prep + C++ byte assembly (same output as the Python
     loop below, asserted by tests)."""
     from .mapq import compute_mapq
@@ -110,7 +115,9 @@ def _write_se_native(batch: ReadBatch, contigs: GlobalContigs, ranked,
     names_b, name_off = samfmt.pack_strs([s.encode() for s in batch.names])
     cig_b, cig_off = samfmt.pack_strs(
         [cigars[prim[i]].encode() if mapped[i] else b"" for i in range(n)])
-    seqmat = code_to_ascii(batch.seqs)
+    # 2-bit codes straight through; the C++ formatter translates via LUT
+    # while copying (saves a full ASCII materialization of the read matrix)
+    seqmat = batch.seqs.view(np.uint8)
     seq_row = (ids + strand * n).astype(np.int32)
     seq_len = batch.lengths.astype(np.int32)
     quals_b, qual_off = samfmt.pack_strs(batch.quals)
@@ -156,15 +163,15 @@ def _write_se_native(batch: ReadBatch, contigs: GlobalContigs, ranked,
             rec["mapq"], cig_b, cig_off, rec["rnext"], rec["pnext"],
             rec["tlen"], seqmat, rec["seq_row"], rec["seq_len"],
             quals_b, qual_off, rec["qual_rev"], has_nm, rec["nm"],
-            extra_b, extra_off, cnames_b, cname_off)
-        return text.decode().splitlines()
+            extra_b, extra_off, cnames_b, cname_off, seq_codes=True)
+        return text.decode()
 
     text = samfmt.format_records(
         names_b, name_off, flag, rname, pos1, mapq, cig_b, cig_off,
         rnext, zeros, zeros, seqmat, seq_row, seq_len,
         quals_b, qual_off, qual_rev, mapped.astype(np.uint8), nm,
-        extra_b, extra_off, cnames_b, cname_off)
-    return text.decode().splitlines()
+        extra_b, extra_off, cnames_b, cname_off, seq_codes=True)
+    return text.decode()
 
 
 def _expand_secondary(n, mapped, grp_start, grp_end, prim, sec_flag_base,
@@ -216,7 +223,7 @@ def _expand_secondary(n, mapped, grp_start, grp_end, prim, sec_flag_base,
 
 def _write_pe_native(batch: ReadBatch, contigs: GlobalContigs, ranked,
                      cigars: list[str], pair_info, secondary_mode: str,
-                     samfmt) -> list[str]:
+                     samfmt) -> str:
     """Vectorized PE field prep + C++ byte assembly (mirrors the Python
     write_pe_records loop exactly; tested equal)."""
     from .mapq import compute_mapq
@@ -276,7 +283,7 @@ def _write_pe_native(batch: ReadBatch, contigs: GlobalContigs, ranked,
     names_b, name_off = samfmt.pack_strs([s.encode() for s in batch.names])
     cig_b, cig_off = samfmt.pack_strs(
         [cigars[prim[i]].encode() if mapped[i] else b"" for i in range(n)])
-    seqmat = code_to_ascii(batch.seqs)
+    seqmat = batch.seqs.view(np.uint8)   # codes; C++ LUT-translates
     seq_row = (ids + my_strand * n).astype(np.int32)
     seq_len = batch.lengths.astype(np.int32)
     quals_b, qual_off = samfmt.pack_strs(batch.quals)
@@ -327,15 +334,15 @@ def _write_pe_native(batch: ReadBatch, contigs: GlobalContigs, ranked,
             rec["mapq"], cig_b, cig_off, rec["rnext"], rec["pnext"],
             rec["tlen"], seqmat, rec["seq_row"], rec["seq_len"],
             quals_b, qual_off, rec["qual_rev"], has_nm, rec["nm"],
-            extra_b, extra_off, cnames_b, cname_off)
-        return text.decode().splitlines()
+            extra_b, extra_off, cnames_b, cname_off, seq_codes=True)
+        return text.decode()
 
     text = samfmt.format_records(
         names_b, name_off, flag, rname, pos1, mapq, cig_b, cig_off,
         rnext, pnext, tlen, seqmat, seq_row, seq_len,
         quals_b, qual_off, qual_rev, mapped.astype(np.uint8), nm,
-        extra_b, extra_off, cnames_b, cname_off)
-    return text.decode().splitlines()
+        extra_b, extra_off, cnames_b, cname_off, seq_codes=True)
+    return text.decode()
 
 
 def _seq_qual(batch: ReadBatch, read_id: int, strand: int) -> tuple[str, str]:
@@ -350,7 +357,7 @@ def _seq_qual(batch: ReadBatch, read_id: int, strand: int) -> tuple[str, str]:
 
 def write_pe_records(batch: ReadBatch, contigs: GlobalContigs, ranked,
                      cigars: list[str], pair_info,
-                     secondary_mode: str = "tag") -> list[str]:
+                     secondary_mode: str = "tag") -> str:
     """Paired-end records. Reads [0,h) are first mates, [h,2h) second mates.
 
     TLEN (both mates mapped, same contig): rightmost end - leftmost begin,
@@ -461,11 +468,11 @@ def write_pe_records(batch: ReadBatch, contigs: GlobalContigs, ranked,
                 lines.append(f"{name}\t{sflag}\t{contigs.names[cj]}"
                              f"\t{int(lpos_all[mj]) + 1}\t0\t{cigars[mj]}"
                              f"\t*\t0\t0\t*\t*\tNM:i:{int(m.dist[mj])}")
-    return lines
+    return _join(lines)
 
 
 def write_se_records(batch: ReadBatch, contigs: GlobalContigs, ranked,
-                     cigars: list[str], secondary_mode: str = "tag") -> list[str]:
+                     cigars: list[str], secondary_mode: str = "tag") -> str:
     """Single-end records, one primary per read (+ secondaries per mode).
 
     ranked: pipeline.matches.Ranked (canonical order); cigars aligned with
@@ -486,7 +493,7 @@ def write_se_records(batch: ReadBatch, contigs: GlobalContigs, ranked,
 
 
 def _write_se_python(batch: ReadBatch, contigs: GlobalContigs, ranked,
-                     cigars: list[str], secondary_mode: str = "tag") -> list[str]:
+                     cigars: list[str], secondary_mode: str = "tag") -> str:
     from .mapq import compute_mapq
 
     m = ranked.matches
@@ -525,4 +532,4 @@ def _write_se_python(batch: ReadBatch, contigs: GlobalContigs, ranked,
                 tags.append("XA:Z:" + ";".join(alts) + ";")
             lines.append(f"{name}\t{flag}\t{rname}\t{pos1}\t{q}\t{cigars[mi]}"
                          f"\t*\t0\t0\t{seq}\t{qual}\t" + "\t".join(tags))
-    return lines
+    return _join(lines)

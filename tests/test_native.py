@@ -187,4 +187,4 @@ def test_native_formatter_long_contig_names(rng):
     want = _write_se_python(batch, contigs, ranked, cigars, "tag")
     got = write_se_records(batch, contigs, ranked, cigars, "tag")
     assert got == want
-    assert any(longname in l for l in got)
+    assert longname in got
