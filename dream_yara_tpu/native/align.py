@@ -45,7 +45,10 @@ def _p(a, t):
 
 
 def compute_cigars_native(text, reads, rows, lengths, begins, ends, dists,
-                          max_err: int, n_threads: int = 0) -> list[str]:
+                          max_err: int, n_threads: int = 0):
+    """Returns utils.packedstrs.PackedStrs (list-of-str compatible; the SAM
+    formatter consumes the packed buffer directly, skipping 2x65k Python
+    string materializations per batch)."""
     lib = _load()
     if lib is None:
         raise RuntimeError("native align library unavailable")
@@ -72,8 +75,9 @@ def compute_cigars_native(text, reads, rows, lengths, begins, ends, dists,
             n, max_err, n_threads,
             out, cap, _p(off, ctypes.c_int64))
         if total >= 0:
-            buf = out.raw
-            return [buf[off[i]:off[i + 1]].decode() for i in range(n)]
+            from ..utils.packedstrs import PackedStrs
+            buf = np.frombuffer(out, dtype=np.uint8, count=int(total)).copy()
+            return PackedStrs(buf, off)
         cap *= 4
         if cap > 1 << 31:
             raise RuntimeError("cigar buffer overflow")

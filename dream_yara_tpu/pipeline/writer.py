@@ -85,6 +85,17 @@ def _join(lines: list[str]) -> str:
     return "\n".join(lines) + "\n" if lines else ""
 
 
+def _pack_cigars(samfmt, cigars, idx, use):
+    """(buffer, offsets) of cigars[idx[i]] where use[i] else ''. PackedStrs
+    (native cigar engine output) gathers without materializing Python strs."""
+    from ..utils.packedstrs import PackedStrs
+
+    if isinstance(cigars, PackedStrs):
+        return cigars.gather(idx, use)
+    return samfmt.pack_strs([cigars[int(j)].encode() if u else b""
+                             for j, u in zip(idx, use)])
+
+
 def _write_se_native(batch: ReadBatch, contigs: GlobalContigs, ranked,
                      cigars: list[str], secondary_mode: str, samfmt) -> str:
     """Vectorized field prep + C++ byte assembly (same output as the Python
@@ -113,8 +124,7 @@ def _write_se_native(batch: ReadBatch, contigs: GlobalContigs, ranked,
     nm = np.where(mapped, m.dist[prim] if len(m) else 0, 0).astype(np.int32)
 
     names_b, name_off = samfmt.pack_strs([s.encode() for s in batch.names])
-    cig_b, cig_off = samfmt.pack_strs(
-        [cigars[prim[i]].encode() if mapped[i] else b"" for i in range(n)])
+    cig_b, cig_off = _pack_cigars(samfmt, cigars, prim, mapped)
     # 2-bit codes straight through; the C++ formatter translates via LUT
     # while copying (saves a full ASCII materialization of the read matrix)
     seqmat = batch.seqs.view(np.uint8)
@@ -149,10 +159,10 @@ def _write_se_native(batch: ReadBatch, contigs: GlobalContigs, ranked,
         names_enc = [s.encode() for s in batch.names]
         names_b, name_off = samfmt.pack_strs(
             [names_enc[r] for r in rec_read])
-        cig_b, cig_off = samfmt.pack_strs(
-            [cigars[mj[i]].encode() if is_sec[i]
-             else (cigars[prim[r]].encode() if mapped[r] else b"")
-             for i, r in enumerate(rec_read)])
+        cig_b, cig_off = _pack_cigars(
+            samfmt, cigars,
+            np.where(is_sec, mj, np.maximum(prim[rec_read], 0)),
+            is_sec | mapped[rec_read])
         quals_b, qual_off = samfmt.pack_strs(
             [b"" if is_sec[i] else batch.quals[r]
              for i, r in enumerate(rec_read)])
@@ -281,8 +291,7 @@ def _write_pe_native(batch: ReadBatch, contigs: GlobalContigs, ranked,
                      np.where(mate_mapped, mate_pos1, my_pos1)).astype(np.int64)
 
     names_b, name_off = samfmt.pack_strs([s.encode() for s in batch.names])
-    cig_b, cig_off = samfmt.pack_strs(
-        [cigars[prim[i]].encode() if mapped[i] else b"" for i in range(n)])
+    cig_b, cig_off = _pack_cigars(samfmt, cigars, pc, mapped)
     seqmat = batch.seqs.view(np.uint8)   # codes; C++ LUT-translates
     seq_row = (ids + my_strand * n).astype(np.int32)
     seq_len = batch.lengths.astype(np.int32)
@@ -320,10 +329,10 @@ def _write_pe_native(batch: ReadBatch, contigs: GlobalContigs, ranked,
         names_enc = [s.encode() for s in batch.names]
         names_b, name_off = samfmt.pack_strs(
             [names_enc[r] for r in rec_read])
-        cig_b, cig_off = samfmt.pack_strs(
-            [cigars[mj[i]].encode() if is_sec[i]
-             else (cigars[prim[r]].encode() if mapped[r] else b"")
-             for i, r in enumerate(rec_read)])
+        cig_b, cig_off = _pack_cigars(
+            samfmt, cigars,
+            np.where(is_sec, mj, np.maximum(prim[rec_read], 0)),
+            is_sec | mapped[rec_read])
         quals_b, qual_off = samfmt.pack_strs(
             [b"" if is_sec[i] else batch.quals[r]
              for i, r in enumerate(rec_read)])
