@@ -30,6 +30,24 @@ def parse_size(s: str) -> int:
     return int(float(s) * mult)
 
 
+def configure_jax_platform():
+    """Honor a DY_PLATFORM env override (e.g. ``cpu``) at runtime.
+
+    The image's sitecustomize registers the axon TPU backend and pins the
+    platform before any user code runs, so the usual ``JAX_PLATFORMS`` env
+    var is silently ignored — the only override that works is the runtime
+    config update (same trick as tests/conftest.py). Lets CI, the verify
+    driver, and users without a chip run every CLI on the CPU backend.
+    """
+    import os
+
+    plat = os.environ.get("DY_PLATFORM")
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
+
+
 def cli_guard(main_fn):
     """Convert common user errors into clean messages + exit 2 (no traceback)."""
     import functools

@@ -57,6 +57,9 @@ def main(argv=None):
 
     import jax
 
+    from .common import configure_jax_platform
+
+    configure_jax_platform()
     try:  # persistent compile cache (first-run TPU compiles are minutes)
         jax.config.update("jax_compilation_cache_dir",
                           os.path.expanduser("~/.cache/dream_yara_tpu_xla"))

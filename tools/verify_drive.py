@@ -23,7 +23,10 @@ def main():
     work = Path(sys.argv[1]) if len(sys.argv) > 1 else Path(
         tempfile.mkdtemp(prefix="dyv_"))
     work.mkdir(parents=True, exist_ok=True)
-    env = {**os.environ, "JAX_PLATFORMS": "cpu",
+    # DY_PLATFORM, not JAX_PLATFORMS: the image's sitecustomize pins the
+    # axon backend before env vars are honored; the CLI applies DY_PLATFORM
+    # via the runtime config override (cli/common.configure_jax_platform).
+    env = {**os.environ, "DY_PLATFORM": "cpu",
            "DY_JAX_CACHE": str(REPO / ".jax_cache_cpu")}
     import numpy as np
     rng = np.random.default_rng(7)
