@@ -62,6 +62,7 @@ def main(argv=None):
     configure_jax_platform()
     try:  # persistent compile cache (first-run TPU compiles are minutes)
         jax.config.update("jax_compilation_cache_dir",
+                          os.environ.get("DY_JAX_CACHE") or
                           os.path.expanduser("~/.cache/dream_yara_tpu_xla"))
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
