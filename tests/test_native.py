@@ -188,3 +188,28 @@ def test_native_formatter_long_contig_names(rng):
     got = write_se_records(batch, contigs, ranked, cigars, "tag")
     assert got == want
     assert longname in got
+
+
+def test_packedstrs_roundtrip_and_gather():
+    from dream_yara_tpu.utils.packedstrs import PackedStrs
+
+    items = ["100M", "", "50M2I48M", "3S97M", ""]
+    ps = PackedStrs.from_list(items)
+    assert list(ps) == items
+    assert ps[2] == "50M2I48M" and ps[-1] == ""
+    assert ps == items  # list-equality protocol used by writer golden tests
+
+    # gather with reordering, duplicates, and keep-masking
+    idx = np.array([3, 0, 0, 2, 1])
+    keep = np.array([True, False, True, True, True])
+    buf, off = ps.gather(idx, keep)
+    got = [buf[off[i]:off[i + 1]].tobytes().decode() for i in range(len(idx))]
+    assert got == ["3S97M", "", "100M", "50M2I48M", ""]
+
+    # negative (unmapped-sentinel) indices are safe when masked out
+    buf, off = ps.gather(np.array([-1, 1]), np.array([False, False]))
+    assert off.tolist() == [0, 0, 0] and buf.size == 0
+
+    # all-empty gather
+    buf, off = PackedStrs.from_list(["", ""]).gather(np.array([0, 1]))
+    assert buf.size == 0 and off.tolist() == [0, 0, 0]
