@@ -51,7 +51,8 @@ def backward_search(bwt_blocks, occ, counts, n,
 def seed_search(bwt_blocks, occ, counts, n, reads: jnp.ndarray,
                 rows: jnp.ndarray, starts: jnp.ndarray, slens: jnp.ndarray,
                 max_seed_len: int,
-                pfx_lo=None, pfx_hi=None, prefix_q: int = 0, fused=None):
+                pfx_lo=None, pfx_hi=None, prefix_q: int = 0, fused=None,
+                chars_fe: jnp.ndarray | None = None):
     """Exact backward search of variable-length seeds cut from the read matrix.
 
     reads: (R2, L) int8; rows/starts/slens: (S,) int32 — seed s is
@@ -69,6 +70,14 @@ def seed_search(bwt_blocks, occ, counts, n, reads: jnp.ndarray,
     verifier rejects. The returned m_start reports the true start of the
     matched part per seed so anchors stay exact either way.
 
+    `chars_fe` (optional, (S, max_seed_len) int8): seed chars indexed FROM THE
+    SEED'S END — chars_fe[s, j] = reads[rows[s], starts[s] + slens[s] - 1 - j]
+    (pad 4 past slens[s]). When the caller can build it WITHOUT gathers
+    (uniform read lengths => static per-seed windows, map_step), passing it
+    replaces every per-trip read-matrix char gather (the dominant device cost:
+    int8 flat gathers run ~3x slower per index than fused-rank row gathers,
+    tools/proto_gather_rate.py) with static/contiguous column slices.
+
     Returns (lo, hi, m_start): each (S,) int32.
     """
     S = rows.shape[0]
@@ -84,8 +93,14 @@ def seed_search(bwt_blocks, occ, counts, n, reads: jnp.ndarray,
         m_idx = jnp.zeros(S, dtype=jnp.int32)
         ok_tab = slens >= q
         for t in range(q):
-            idx = starts + slens - q + t
-            c = jnp.take(flat, rows * L + jnp.clip(idx, 0, L - 1)).astype(jnp.int32)
+            if chars_fe is not None:
+                # char at position starts+slens-q+t == from-end index q-1-t
+                # (clamped for tiny seed windows: those seeds fail slens >= q
+                # and read pad chars (4), so ok_tab stays false either way)
+                c = chars_fe[:, min(q - 1 - t, chars_fe.shape[1] - 1)].astype(jnp.int32)
+            else:
+                idx = starts + slens - q + t
+                c = jnp.take(flat, rows * L + jnp.clip(idx, 0, L - 1)).astype(jnp.int32)
             ok_tab = ok_tab & (c < 4)
             m_idx = (m_idx << 2) | (c & 3)
         t_lo = jnp.take(pfx_lo, m_idx)
@@ -107,8 +122,19 @@ def seed_search(bwt_blocks, occ, counts, n, reads: jnp.ndarray,
         lo, hi = carry
         tt = t + consumed0
         active = tt < slens
-        idx = starts + slens - 1 - tt
-        c = jnp.take(flat, rows * L + jnp.clip(idx, 0, L - 1)).astype(jnp.int32)
+        if chars_fe is not None:
+            # from-end index tt = t (+ q where the table jump consumed q
+            # chars): two contiguous dynamic column slices + select, no gather
+            ca = jax.lax.dynamic_slice_in_dim(chars_fe, t, 1, axis=1)[:, 0]
+            if pfx_lo is not None and prefix_q > 0:
+                cb = jax.lax.dynamic_slice_in_dim(
+                    chars_fe, t + prefix_q, 1, axis=1)[:, 0]
+                c = jnp.where(consumed0 > 0, cb, ca).astype(jnp.int32)
+            else:
+                c = ca.astype(jnp.int32)
+        else:
+            idx = starts + slens - 1 - tt
+            c = jnp.take(flat, rows * L + jnp.clip(idx, 0, L - 1)).astype(jnp.int32)
         bounds = jnp.concatenate([lo, hi])
         if fused is not None:
             from .rank import rank_fused

@@ -93,7 +93,7 @@ def build_mesh_dream_step(mesh: Mesh, *, half_loc: int, L: int, B: int,
                           capacity: int, max_slen: int, prefix_q: int,
                           sample_rate: int, use_pallas: bool,
                           k: int = 0, n_hashes: int = 0, window: int = 0,
-                          use_filter: bool = True):
+                          use_filter: bool = True, uniform_len: bool = False):
     """Jitted sharded step: (fmset, filter_words, blob) -> MeshMapOut.
 
     fmset: DeviceFMSet, axis 0 sharded over 'bin' (B divisible by the bin
@@ -145,7 +145,8 @@ def build_mesh_dream_step(mesh: Mesh, *, half_loc: int, L: int, B: int,
 
             out = _map_step_core(
                 fm_b, sub_reads, sub_lens, rate_ppm, max_errors, capacity,
-                max_slen, None, cap2v, prefix_q, use_pallas, sample_rate)
+                max_slen, None, cap2v, prefix_q, use_pallas, sample_rate,
+                uniform_len)
             meta = (out.row
                     | (jnp.clip(out.dist, 0, 31) << META_DIST_SHIFT)
                     | (out.ok.astype(jnp.int32) << META_OK_SHIFT))

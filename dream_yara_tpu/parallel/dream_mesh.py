@@ -80,15 +80,16 @@ class MeshDreamMapper:
         return max(64, min(half_loc, (4 * half_loc + self.B - 1) // self.B))
 
     def _step(self, half_loc: int, L: int, r_cap: int, rate_ppm: int,
-              max_err: int, max_slen: int):
-        key = (half_loc, L, r_cap, rate_ppm, max_err)
+              max_err: int, max_slen: int, uniform_len: bool = False):
+        key = (half_loc, L, r_cap, rate_ppm, max_err, uniform_len)
         if key not in self._steps:
             self._steps[key] = build_mesh_dream_step(
                 self.mesh, half_loc=half_loc, L=L, B=self.B, r_cap=r_cap,
                 rate_ppm=rate_ppm, max_errors=max_err, capacity=8,
                 max_slen=max_slen, prefix_q=self.prefix_q,
                 sample_rate=self.sample_rate, use_pallas=self.use_pallas,
-                k=self.k, n_hashes=self.n_hashes, window=self.window, use_filter=self.use_filter)
+                k=self.k, n_hashes=self.n_hashes, window=self.window,
+                use_filter=self.use_filter, uniform_len=uniform_len)
         return self._steps[key]
 
     def map_batch(self, batch: ReadBatch,
@@ -111,7 +112,10 @@ class MeshDreamMapper:
         blob, half_loc = pack_batch_blob(batch.seqs[:n], batch.lengths,
                                          self.data_ax, L)
         r_cap = self._r_cap(half_loc)
-        step = self._step(half_loc, L, r_cap, rate_ppm, max_err, max_slen)
+        uniform_len = (bool(np.all(batch.lengths == L))
+                       and (L * rate_ppm) // 10_000 == max_err)
+        step = self._step(half_loc, L, r_cap, rate_ppm, max_err, max_slen,
+                          uniform_len)
         with timers.stage("mesh map (device)"):
             out_dev: MeshMapOut = step(self.fmset, self.filter_words,
                                        jnp.asarray(blob))

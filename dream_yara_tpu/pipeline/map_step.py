@@ -73,7 +73,7 @@ def seed_stop_depth(prefix_q: int) -> int:
 @functools.partial(
     jax.jit, static_argnames=("rate_ppm", "max_errors", "capacity", "max_slen",
                               "verify_capacity", "compact_cap", "prefix_q",
-                              "use_pallas", "sample_rate"))
+                              "use_pallas", "sample_rate", "uniform_len"))
 def single_bin_map_step(fm: DeviceFM, reads: jnp.ndarray, lengths: jnp.ndarray,
                         *, rate_ppm: int, max_errors: int, capacity: int,
                         max_slen: int,
@@ -81,16 +81,18 @@ def single_bin_map_step(fm: DeviceFM, reads: jnp.ndarray, lengths: jnp.ndarray,
                         compact_cap: int | None = None,
                         prefix_q: int = 0,
                         use_pallas: bool = False,
-                        sample_rate: int = 1) -> MapStepOut:
+                        sample_rate: int = 1,
+                        uniform_len: bool = False) -> MapStepOut:
     return _map_step_core(fm, reads, lengths, rate_ppm, max_errors, capacity,
                           max_slen, verify_capacity, compact_cap, prefix_q,
-                          use_pallas, sample_rate)
+                          use_pallas, sample_rate, uniform_len)
 
 
 @functools.partial(
     jax.jit, static_argnames=("half", "L", "rate_ppm", "max_errors", "capacity",
                               "max_slen", "verify_capacity", "compact_cap",
-                              "prefix_q", "use_pallas", "sample_rate"))
+                              "prefix_q", "use_pallas", "sample_rate",
+                              "uniform_len"))
 def single_bin_map_step_packed(fm: DeviceFM, blob: jnp.ndarray,
                                *, half: int, L: int, rate_ppm: int, max_errors: int,
                                capacity: int, max_slen: int,
@@ -98,7 +100,8 @@ def single_bin_map_step_packed(fm: DeviceFM, blob: jnp.ndarray,
                                compact_cap: int | None = None,
                                prefix_q: int = 0,
                                use_pallas: bool = False,
-                               sample_rate: int = 1) -> MapStepOut:
+                               sample_rate: int = 1,
+                               uniform_len: bool = False) -> MapStepOut:
     """Packed-upload entry (see pack_reads_fwd): unpacks reads on device.
 
     Returns (bundle, seed_lo, seed_hi, overflow): every per-candidate output
@@ -111,7 +114,7 @@ def single_bin_map_step_packed(fm: DeviceFM, blob: jnp.ndarray,
     reads = unpack_reads(packed, nmask, lengths, L)
     out = _map_step_core(fm, reads, lengths, rate_ppm, max_errors, capacity,
                          max_slen, verify_capacity, compact_cap, prefix_q,
-                         use_pallas, sample_rate)
+                         use_pallas, sample_rate, uniform_len)
     if _meta_packable(L, max_errors, half * 2):
         # bit-pack (row, dist, end-begin, ok) into one int32 next to begin:
         # halves the fetched bytes (the tunnel is bandwidth-bound d2h too)
@@ -155,9 +158,42 @@ def unbundle_out(bundle: np.ndarray, seed_lo, seed_hi, overflow, m_start,
                       n_spilled=bundle[5 * cv + 1])
 
 
+def _uniform_seed_chars(reads, L, rate_ppm, max_errors, t_stop, msl_eff):
+    """Gather-free seed-char matrix for UNIFORM-length batches.
+
+    When every (non-padding) read in the chunk has length exactly L and the
+    batch error budget equals floor(L * rate) (the caller asserts both before
+    setting uniform_len), the pigeonhole seed windows are the same static
+    slices of the read matrix for every row: seed k covers
+    [k*slen, (k+1)*slen), truncated to its last slen_eff chars. The whole
+    (S, msl_eff) chars-from-end matrix is then ns static column slices +
+    flips — replacing ~(prefix_q + trips) * S int8 flat gathers per chunk,
+    the largest single device cost (tools/proto_gather_rate.py: int8 flat
+    gathers ~124M idx/s vs 385M for fused-rank row gathers).
+
+    Padding rows (length 0) get garbage chars here; their seeds carry
+    slens == 0, so seed_search masks them (ok_tab false, active false) —
+    value-exact with the gather path.
+    """
+    R2 = reads.shape[0]
+    ns = max_errors + 1
+    slen = L // ns
+    slen_eff = min(slen, t_stop)
+    cols = []
+    for k in range(ns):
+        a = k * slen + (slen - slen_eff)
+        w = jax.lax.slice_in_dim(reads, a, a + slen_eff, axis=1)
+        w = jnp.flip(w, axis=1)                      # chars-from-end order
+        if slen_eff < msl_eff:
+            w = jnp.pad(w, ((0, 0), (0, msl_eff - slen_eff)),
+                        constant_values=np.int8(4))
+        cols.append(w)
+    return jnp.stack(cols, axis=1).reshape(R2 * ns, msl_eff)
+
+
 def _map_step_core(fm, reads, lengths, rate_ppm, max_errors, capacity,
                    max_slen, verify_capacity, compact_cap, prefix_q,
-                   use_pallas, sample_rate) -> MapStepOut:
+                   use_pallas, sample_rate, uniform_len=False) -> MapStepOut:
     R2, L = reads.shape
     n_reads = lengths.shape[0]
 
@@ -167,11 +203,16 @@ def _map_step_core(fm, reads, lengths, rate_ppm, max_errors, capacity,
     t_stop = seed_stop_depth(prefix_q)
     slens_eff = jnp.minimum(slens, t_stop)
     starts_eff = starts + (slens - slens_eff)
+    msl_eff = min(max_slen, t_stop)
+    chars_fe = (_uniform_seed_chars(reads, L, rate_ppm, max_errors, t_stop,
+                                    msl_eff)
+                if uniform_len else None)
     lo, hi, m_start = seed_search(fm.bwt_blocks, fm.occ, fm.counts, fm.n,
                                   reads, rows, starts_eff, slens_eff,
-                                  min(max_slen, t_stop),
+                                  msl_eff,
                                   pfx_lo=fm.pfx_lo, pfx_hi=fm.pfx_hi,
-                                  prefix_q=prefix_q, fused=fm.fused)
+                                  prefix_q=prefix_q, fused=fm.fused,
+                                  chars_fe=chars_fe)
     starts = m_start  # anchors below = hit pos - true start of matched part
     if sample_rate > 1:
         # sampled SA: fetch row ids, then walk LF to marked rows
