@@ -52,7 +52,8 @@ def seed_search(bwt_blocks, occ, counts, n, reads: jnp.ndarray,
                 rows: jnp.ndarray, starts: jnp.ndarray, slens: jnp.ndarray,
                 max_seed_len: int,
                 pfx_lo=None, pfx_hi=None, prefix_q: int = 0, fused=None,
-                chars_fe: jnp.ndarray | None = None):
+                chars_fe: jnp.ndarray | None = None,
+                rank_row_fetch=None, pfx_fetch=None):
     """Exact backward search of variable-length seeds cut from the read matrix.
 
     reads: (R2, L) int8; rows/starts/slens: (S,) int32 — seed s is
@@ -103,8 +104,16 @@ def seed_search(bwt_blocks, occ, counts, n, reads: jnp.ndarray,
                 c = jnp.take(flat, rows * L + jnp.clip(idx, 0, L - 1)).astype(jnp.int32)
             ok_tab = ok_tab & (c < 4)
             m_idx = (m_idx << 2) | (c & 3)
-        t_lo = jnp.take(pfx_lo, m_idx)
-        t_hi = jnp.take(pfx_hi, m_idx)
+        # ONE (4^q, 2) row gather instead of two element gathers into the
+        # big tables (big-table element gathers measured ~76M idx/s vs 385M
+        # for row gathers — tools/proto_tunnel_costs.py). `pfx_fetch`
+        # overrides for mesh-sharded tables (parallel/sharded_fm.py).
+        if pfx_fetch is not None:
+            t_both = pfx_fetch(m_idx)
+        else:
+            t_both = jnp.take(jnp.stack([pfx_lo, pfx_hi], axis=1), m_idx,
+                              axis=0)
+        t_lo, t_hi = t_both[:, 0], t_both[:, 1]
         lo0 = jnp.where(ok_tab, t_lo, lo0)
         hi0 = jnp.where(ok_tab, t_hi, hi0)
         consumed0 = jnp.where(ok_tab, q, 0)
@@ -136,9 +145,10 @@ def seed_search(bwt_blocks, occ, counts, n, reads: jnp.ndarray,
             idx = starts + slens - 1 - tt
             c = jnp.take(flat, rows * L + jnp.clip(idx, 0, L - 1)).astype(jnp.int32)
         bounds = jnp.concatenate([lo, hi])
-        if fused is not None:
+        if fused is not None or rank_row_fetch is not None:
             from .rank import rank_fused
-            ranks = rank_fused(fused, jnp.tile(c, 2), bounds)
+            ranks = rank_fused(fused, jnp.tile(c, 2), bounds,
+                               row_fetch=rank_row_fetch)
         else:
             ranks = rank(bwt_blocks, occ, jnp.tile(c, 2), bounds)
         cc = jnp.take(counts, c)
@@ -171,8 +181,17 @@ def gather_hit_rows(lo: jnp.ndarray, hi: jnp.ndarray, capacity: int):
     return jnp.where(mask, rows, 0), mask, overflow
 
 
-def gather_hits(sa: jnp.ndarray, lo: jnp.ndarray, hi: jnp.ndarray, capacity: int):
+def gather_hits(sa: jnp.ndarray, lo: jnp.ndarray, hi: jnp.ndarray, capacity: int,
+                sa_row_fetch=None, n_sa_rows: int | None = None):
     """Expand SA intervals into text positions with a per-seed capacity.
+
+    The hits of one seed are CONSECUTIVE SA entries lo..lo+capacity-1, so
+    instead of S*capacity element gathers this fetches the few 8-wide SA rows
+    covering the span (gathers cost per INDEX, not per byte) and aligns with
+    a log-shift roll cascade — the same trick as the verify window fetch.
+
+    `sa_row_fetch(r) -> (S, 8)` + `n_sa_rows` override the local row gather
+    (mesh-sharded SA, parallel/sharded_fm.py).
 
     Returns (positions, mask, overflow):
       positions: (S, capacity) int32 text positions (garbage where ~mask)
@@ -182,10 +201,25 @@ def gather_hits(sa: jnp.ndarray, lo: jnp.ndarray, hi: jnp.ndarray, capacity: int
                  "ragged routing under fixed-capacity buffers")
     """
     S = lo.shape[0]
+    W = 8
     offs = jnp.arange(capacity, dtype=jnp.int32)
-    rows = lo[:, None] + offs[None, :]
-    mask = rows < hi[:, None]
-    rows = jnp.clip(rows, 0, sa.shape[0] - 1)
-    positions = jnp.take(sa, rows)
+    mask = (lo[:, None] + offs[None, :]) < hi[:, None]
+    if sa_row_fetch is None:
+        n_sa = sa.shape[0]
+        nrows = (n_sa + W - 1) // W
+        sa8 = jnp.pad(sa, (0, nrows * W - n_sa)).reshape(nrows, W)
+        sa_row_fetch = lambda r: jnp.take(sa8, r, axis=0)
+    else:
+        assert n_sa_rows is not None
+        nrows = n_sa_rows
+    k_rows = (capacity + 2 * W - 2) // W          # rows covering lo..lo+cap-1
+    r0 = lo >> 3
+    cat = jnp.concatenate(
+        [sa_row_fetch(jnp.clip(r0 + j, 0, nrows - 1))
+         for j in range(k_rows)], axis=1)          # (S, k_rows*W)
+    sh = lo & (W - 1)
+    for b in (4, 2, 1):                            # align start to column 0
+        cat = jnp.where((sh & b)[:, None] != 0, jnp.roll(cat, -b, axis=1), cat)
+    positions = cat[:, :capacity]
     overflow = jnp.maximum(hi - lo - capacity, 0)
     return positions, mask, overflow

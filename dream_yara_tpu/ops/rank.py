@@ -64,11 +64,22 @@ def build_fused_rank_rows(bwt_blocks: "np.ndarray", occ: "np.ndarray"):
     return fused
 
 
-def rank_fused(fused: jnp.ndarray, c: jnp.ndarray, i: jnp.ndarray) -> jnp.ndarray:
-    """rank via ONE row gather from the fused table (see build_fused_rank_rows)."""
+def rank_fused(fused: jnp.ndarray, c: jnp.ndarray, i: jnp.ndarray,
+               row_fetch=None) -> jnp.ndarray:
+    """rank via ONE row gather from the fused table (see build_fused_rank_rows).
+
+    `row_fetch(b) -> (Q, 24)` overrides the local table gather — the
+    mesh-sharded big-bin path (parallel/sharded_fm.py) fetches rows from the
+    owning shard via masked local gather + psum over the shard axis."""
     b = i >> _LOG2_BLOCK
     r = i & (BLOCK - 1)
-    row = jnp.take(fused, b, axis=0)                    # (Q, 24) — one gather
+    row = (jnp.take(fused, b, axis=0) if row_fetch is None
+           else row_fetch(b))                           # (Q, 24) — one gather
+    return rank_fused_rows(row, c, r)
+
+
+def rank_fused_rows(row: jnp.ndarray, c: jnp.ndarray, r: jnp.ndarray) -> jnp.ndarray:
+    """Decode fused rank rows: row (Q, 24), symbol c (Q,), in-block pos r (Q,)."""
     base = jnp.zeros(c.shape, dtype=jnp.int32)
     for j in range(6):
         base = base + jnp.where(c == j, row[:, j], 0)

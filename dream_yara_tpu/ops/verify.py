@@ -28,12 +28,18 @@ INF = 1 << 20  # plain int: a module-level jnp scalar would initialize the
 
 
 def banded_verify(text: jnp.ndarray, anchors: jnp.ndarray, reads: jnp.ndarray,
-                  read_rows: jnp.ndarray, lengths: jnp.ndarray, max_err: int):
+                  read_rows: jnp.ndarray, lengths: jnp.ndarray, max_err: int,
+                  tblock_fetch=None):
     """Verify candidates (read placed at text position `anchor` +- max_err).
 
     text: (n,) int8 bin text; anchors: (C,) int32 claimed begin positions;
     reads: (R2, L) int8 padded read matrix; read_rows: (C,) int32 row per
     candidate; lengths: (C,) int32; max_err: static band radius E.
+
+    `tblock_fetch(brow) -> (C, 128)` overrides the local text-block gather
+    (mesh-sharded text, parallel/sharded_fm.py); it must return all-6 rows
+    for out-of-range block indices (brow < 0 or past the text end) and the
+    final partial block padded with 6.
 
     Returns (dist, begin, end): (C,) int32 each — best whole-read edit
     distance within the band, and its text begin/end (end exclusive).
@@ -58,16 +64,19 @@ def banded_verify(text: jnp.ndarray, anchors: jnp.ndarray, reads: jnp.ndarray,
 
     WLEN = L + 2 * E
     n_wblocks = (WLEN + 127) // 128 + 1
-    # guard-padded text blocks: one leading + n_wblocks trailing blocks of 6
-    # (the mismatch-everything code), so out-of-text positions need no mask.
-    nb = (n + 127) // 128
-    padded = jnp.full(128 + (nb + n_wblocks + 1) * 128, 6, dtype=jnp.int8)
-    padded = jax.lax.dynamic_update_slice(padded, text.astype(jnp.int8), (128,))
-    tblocks = padded.reshape(-1, 128)
-
     a0 = anchors - E                               # >= -E > -128 always
-    brow = (a0 >> 7) + 1
-    blocks = [jnp.take(tblocks, brow + i, axis=0) for i in range(n_wblocks)]
+    if tblock_fetch is None:
+        # guard-padded text blocks: one leading + n_wblocks trailing blocks
+        # of 6 (the mismatch-everything code), so out-of-text positions need
+        # no mask.
+        nb = (n + 127) // 128
+        padded = jnp.full(128 + (nb + n_wblocks + 1) * 128, 6, dtype=jnp.int8)
+        padded = jax.lax.dynamic_update_slice(padded, text.astype(jnp.int8),
+                                              (128,))
+        tblocks = padded.reshape(-1, 128)
+        tblock_fetch = lambda r: jnp.take(tblocks, r + 1, axis=0)
+    brow = a0 >> 7
+    blocks = [tblock_fetch(brow + i) for i in range(n_wblocks)]
     rows2 = jnp.concatenate(blocks, axis=1)        # (C, n_wblocks*128)
     shift = a0 & 127
     for b in range(7):                             # align: left-shift by (a0 & 127)

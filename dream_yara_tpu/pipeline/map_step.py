@@ -301,11 +301,13 @@ def global_compact(A, V, row_ids, cap2: int):
     pos = jnp.cumsum(keep.astype(jnp.int32)) - 1
     total = jnp.where(keep.shape[0] > 0, pos[-1] + 1, 0)
     dst = jnp.where(keep & (pos < cap2), pos, cap2)     # spills -> dump slot
-    vrow = jnp.zeros(cap2 + 1, jnp.int32).at[dst].set(jnp.where(keep, rowv, 0))
-    vanch = jnp.zeros(cap2 + 1, jnp.int32).at[dst].set(anch)
+    # ONE 2-column scatter (scatters cost per index: two separate (lanes,)
+    # scatters pay 2x — tools/proto_tunnel_costs.py)
+    ra = jnp.stack([jnp.where(keep, rowv, 0), anch], axis=1)
+    buf = jnp.zeros((cap2 + 1, 2), jnp.int32).at[dst].set(ra)
     keep2 = jnp.arange(cap2, dtype=jnp.int32) < jnp.minimum(total, cap2)
     n_spilled = jnp.maximum(total - cap2, 0)
-    return vrow[:cap2], vanch[:cap2], keep2, n_spilled
+    return buf[:cap2, 0], buf[:cap2, 1], keep2, n_spilled
 
 
 def dedup_compact(A, V, row_ids, verify_capacity: int | None):
