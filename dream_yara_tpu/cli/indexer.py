@@ -26,11 +26,19 @@ def device_bytes_per_bp(sample_rate: int) -> float:
     return 1 + 1 + 24 / 128 + 96 / 128 + sa
 
 
-def check_hbm_ceiling(n_bp: int, sample_rate: int, hbm_gb: float, bin_id):
+def check_hbm_ceiling(n_bp: int, sample_rate: int, hbm_gb: float, bin_id,
+                      allow_oversize: bool = False):
     """A bin must fit one device's HBM (SURVEY.md §5.7). Refuse with
-    actionable guidance instead of building an unusable artifact."""
+    actionable guidance instead of building an unusable artifact —
+    unless the user opts into sharded big-bin mapping (--allow-oversize,
+    parallel/sharded_fm.py splits every table over a mesh axis)."""
     need = n_bp * device_bytes_per_bp(sample_rate)
     budget = hbm_gb * (1 << 30) * 0.8  # leave 20% for activations
+    if need > budget and allow_oversize:
+        print(f"[indexer] bin {bin_id}: ~{need / 2**30:.1f} GiB exceeds one "
+              f"device's HBM; map it with ShardedBinMapper over "
+              f">= {int(need / budget) + 1} devices", file=sys.stderr)
+        return
     if need > budget:
         per_bp = device_bytes_per_bp(8)
         max_bp = int(budget / per_bp)
@@ -40,12 +48,15 @@ def check_hbm_ceiling(n_bp: int, sample_rate: int, hbm_gb: float, bin_id):
             f"  Split this bin into pieces of at most ~{max_bp // 10**6} Mbp "
             f"(taxonomic splitting keeps the DREAM update property), or\n"
             f"  rebuild with --sample-rate 8 (sampled SA cuts the footprint "
-            f"~2.8x at a small locate cost), or raise --hbm-gb if your "
-            f"chips have more memory.")
+            f"~2.8x at a small locate cost), or\n"
+            f"  map it sharded over K devices "
+            f"(parallel/sharded_fm.ShardedBinMapper splits every table over "
+            f"a mesh axis; pass --allow-oversize here to build the artifact "
+            f"anyway), or raise --hbm-gb if your chips have more memory.")
 
 
 def build_one_bin(args):
-    fasta, db_dir, bin_id, sample_rate, hbm_gb = args
+    fasta, db_dir, bin_id, sample_rate, hbm_gb, allow_oversize = args
     from ..index.fmindex import FMIndex
     from ..io.seqstore import SeqStore
     from .common import FASTA_EXTS  # noqa: F401
@@ -53,7 +64,8 @@ def build_one_bin(args):
 
     t0 = time.time()
     store = SeqStore.from_fasta(fasta)
-    check_hbm_ceiling(len(store.text), sample_rate, hbm_gb, bin_id)
+    check_hbm_ceiling(len(store.text), sample_rate, hbm_gb, bin_id,
+                      allow_oversize)
     fm = FMIndex.build(store.text, sample_rate=sample_rate)
     (Path(db_dir) / "bins").mkdir(parents=True, exist_ok=True)
     store.save(bin_file(db_dir, bin_id, "store"))
@@ -74,6 +86,9 @@ def main(argv=None):
     p.add_argument("--hbm-gb", type=float, default=16.0,
                    help="per-chip HBM budget used to refuse bins that could "
                         "never be device-resident (v5e: 16)")
+    p.add_argument("--allow-oversize", action="store_true",
+                   help="build bins larger than one device's HBM anyway "
+                        "(map them sharded: parallel/sharded_fm.py)")
     p.add_argument("-t", "--threads", type=int, default=1,
                    help="parallel bin builds (processes)")
     p.add_argument("--bin-id", type=int, default=None,
@@ -89,13 +104,15 @@ def main(argv=None):
         if len(paths) != 1:
             sys.exit("error: --bin-id expects exactly one replacement fasta")
         bin_id, n, dt = build_one_bin(
-            (paths[0], db_dir, a.bin_id, a.sample_rate, a.hbm_gb))
+            (paths[0], db_dir, a.bin_id, a.sample_rate, a.hbm_gb,
+             a.allow_oversize))
         print(f"[indexer] rebuilt bin {bin_id} ({n} bp) in {dt:.1f}s",
               file=sys.stderr)
         return
 
     paths = expand_bin_paths(a.bins, a.bins_dir)
-    jobs = [(f, db_dir, b, a.sample_rate, a.hbm_gb) for b, f in enumerate(paths)]
+    jobs = [(f, db_dir, b, a.sample_rate, a.hbm_gb, a.allow_oversize)
+            for b, f in enumerate(paths)]
     t0 = time.time()
     if a.threads > 1:
         with ProcessPoolExecutor(max_workers=a.threads) as ex:

@@ -89,7 +89,8 @@ def seed_search(bwt_blocks, occ, counts, n, reads: jnp.ndarray,
     consumed0 = jnp.zeros(S, dtype=jnp.int32)
     trips = max_seed_len
 
-    if pfx_lo is not None and prefix_q > 0:
+    use_tab = prefix_q > 0 and (pfx_lo is not None or pfx_fetch is not None)
+    if use_tab:
         q = prefix_q
         m_idx = jnp.zeros(S, dtype=jnp.int32)
         ok_tab = slens >= q
@@ -135,7 +136,7 @@ def seed_search(bwt_blocks, occ, counts, n, reads: jnp.ndarray,
             # from-end index tt = t (+ q where the table jump consumed q
             # chars): two contiguous dynamic column slices + select, no gather
             ca = jax.lax.dynamic_slice_in_dim(chars_fe, t, 1, axis=1)[:, 0]
-            if pfx_lo is not None and prefix_q > 0:
+            if use_tab:
                 cb = jax.lax.dynamic_slice_in_dim(
                     chars_fe, t + prefix_q, 1, axis=1)[:, 0]
                 c = jnp.where(consumed0 > 0, cb, ca).astype(jnp.int32)
@@ -159,7 +160,7 @@ def seed_search(bwt_blocks, occ, counts, n, reads: jnp.ndarray,
 
     lo, hi = jax.lax.fori_loop(0, trips, step, (lo0, hi0))
     trips_taken = jnp.int32(trips)
-    if pfx_lo is not None and prefix_q > 0 and extra_trips > 0:
+    if use_tab and extra_trips > 0:
         lo, hi = jax.lax.cond(
             need_extra,
             lambda c: jax.lax.fori_loop(trips, trips + extra_trips, step, c),

@@ -49,7 +49,6 @@ def banded_verify(text: jnp.ndarray, anchors: jnp.ndarray, reads: jnp.ndarray,
     L = reads.shape[1]
     E = int(max_err)
     W = 2 * E + 1
-    n = text.shape[0]
 
     # Gather per-candidate read rows and text windows once (coalesced).
     # LAYOUT: candidates on the LANE (minor) axis — state arrays are (W, C),
@@ -69,6 +68,7 @@ def banded_verify(text: jnp.ndarray, anchors: jnp.ndarray, reads: jnp.ndarray,
         # guard-padded text blocks: one leading + n_wblocks trailing blocks
         # of 6 (the mismatch-everything code), so out-of-text positions need
         # no mask.
+        n = text.shape[0]
         nb = (n + 127) // 128
         padded = jnp.full(128 + (nb + n_wblocks + 1) * 128, 6, dtype=jnp.int8)
         padded = jax.lax.dynamic_update_slice(padded, text.astype(jnp.int8),

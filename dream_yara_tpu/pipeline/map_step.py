@@ -24,6 +24,21 @@ from ..ops.readpack import (pack_blob_with_lengths, pack_reads_fwd,
 from .seeding import errors_for, make_seeds
 
 
+class FetchHooks(NamedTuple):
+    """Injectable table-row fetchers for mesh-sharded big-bin indexes
+    (parallel/sharded_fm.py, SURVEY.md §5.7). Each replaces the
+    corresponding local-HBM gather in the map step; `None` fields keep the
+    local path. Sharded mode requires sample_rate == 1 (the SA is sharded
+    instead of sampled) and uses the XLA verifier (the Pallas kernel is
+    per-device-VMEM by design)."""
+
+    rank_rows: object = None    # (b:(Q,)int32) -> (Q, 24) fused rank rows
+    pfx: object = None          # (m:(S,)int32) -> (S, 2) q-mer intervals
+    sa_rows: object = None      # (r:(S,)int32) -> (S, 8) SA rows
+    n_sa_rows: int | None = None
+    tblocks: object = None      # (brow:(C,)int32) -> (C, 128) text blocks
+
+
 class MapStepOut(NamedTuple):
     row: jnp.ndarray       # (Cv,) int32 seq row (garbage where ~ok)
     begin: jnp.ndarray     # (Cv,) int32 global text begin
@@ -193,9 +208,14 @@ def _uniform_seed_chars(reads, L, rate_ppm, max_errors, t_stop, msl_eff):
 
 def _map_step_core(fm, reads, lengths, rate_ppm, max_errors, capacity,
                    max_slen, verify_capacity, compact_cap, prefix_q,
-                   use_pallas, sample_rate, uniform_len=False) -> MapStepOut:
+                   use_pallas, sample_rate, uniform_len=False,
+                   hooks: FetchHooks | None = None) -> MapStepOut:
     R2, L = reads.shape
     n_reads = lengths.shape[0]
+    if hooks is None:
+        hooks = FetchHooks()
+    else:
+        assert sample_rate == 1, "sharded big-bin mode requires a full SA"
 
     rows, starts, slens = make_seeds(lengths, R2, rate_ppm, max_errors)
     # truncated search: match only each seed's last t_stop chars (see
@@ -212,7 +232,9 @@ def _map_step_core(fm, reads, lengths, rate_ppm, max_errors, capacity,
                                   msl_eff,
                                   pfx_lo=fm.pfx_lo, pfx_hi=fm.pfx_hi,
                                   prefix_q=prefix_q, fused=fm.fused,
-                                  chars_fe=chars_fe)
+                                  chars_fe=chars_fe,
+                                  rank_row_fetch=hooks.rank_rows,
+                                  pfx_fetch=hooks.pfx)
     starts = m_start  # anchors below = hit pos - true start of matched part
     if sample_rate > 1:
         # sampled SA: fetch row ids, then walk LF to marked rows
@@ -224,7 +246,9 @@ def _map_step_core(fm, reads, lengths, rate_ppm, max_errors, capacity,
             fm.sa_rank_ck, sa_rows.reshape(-1), sample_rate,
             valid=hmask.reshape(-1)).reshape(sa_rows.shape)
     else:
-        pos, hmask, overflow = gather_hits(fm.sa, lo, hi, capacity)
+        pos, hmask, overflow = gather_hits(fm.sa, lo, hi, capacity,
+                                           sa_row_fetch=hooks.sa_rows,
+                                           n_sa_rows=hooks.n_sa_rows)
 
     ns = max_errors + 1
     A = (pos - starts[:, None]).reshape(R2, ns * capacity)
@@ -239,7 +263,7 @@ def _map_step_core(fm, reads, lengths, rate_ppm, max_errors, capacity,
                                                      verify_capacity)
     dist, beg, end, ok = verify_candidates(
         fm, reads, lengths, vrow, vanch, keep, rate_ppm, max_errors,
-        use_pallas=use_pallas)
+        use_pallas=use_pallas, tblock_fetch=hooks.tblocks)
     return MapStepOut(row=vrow, begin=beg, end=end, dist=dist, ok=ok,
                       seed_lo=lo, seed_hi=hi, overflow=overflow, m_start=m_start,
                       overflow_total=overflow.sum(dtype=jnp.int32),
@@ -365,17 +389,19 @@ def use_pallas_default() -> bool:
 
 
 def verify_candidates(fm: DeviceFM, reads, lengths, vrow, vanch, keep,
-                      rate_ppm: int, max_errors: int, use_pallas: bool = False):
+                      rate_ppm: int, max_errors: int, use_pallas: bool = False,
+                      tblock_fetch=None):
     n_reads = lengths.shape[0]
     lrow = jnp.take(lengths, vrow % n_reads).astype(jnp.int32)
-    if use_pallas:
+    if use_pallas and tblock_fetch is None:
         from ..ops.pallas_verify import banded_verify_pallas
 
         dist, beg, end = banded_verify_pallas(
             fm.text, vanch, reads, vrow, lrow, max_err=max_errors)
     else:
         dist, beg, end = banded_verify(fm.text, vanch, reads, vrow, lrow,
-                                       max_err=max_errors)
+                                       max_err=max_errors,
+                                       tblock_fetch=tblock_fetch)
     budget = errors_for(lrow, rate_ppm)
     ok = keep & (dist <= budget) & (beg >= 0) & (end <= fm.n)
     return dist, beg, end, ok
