@@ -93,12 +93,22 @@ def build_mesh_dream_step(mesh: Mesh, *, half_loc: int, L: int, B: int,
                           capacity: int, max_slen: int, prefix_q: int,
                           sample_rate: int, use_pallas: bool,
                           k: int = 0, n_hashes: int = 0, window: int = 0,
-                          use_filter: bool = True, uniform_len: bool = False):
-    """Jitted sharded step: (fmset, filter_words, blob) -> MeshMapOut.
+                          use_filter: bool = True, uniform_len: bool = False,
+                          route_override: bool = False):
+    """Jitted sharded step: (fmset, filter_words, blob[, route_words])
+    -> MeshMapOut.
 
     fmset: DeviceFMSet, axis 0 sharded over 'bin' (B divisible by the bin
     axis); filter_words replicated; blob = concatenated per-data-shard
     pack_blob_with_lengths uploads, sharded over 'data'.
+
+    `route_override=True` compiles a variant taking an explicit
+    (n_pad, ceil(B/32)) uint32 routing-bit input instead of the IBF
+    classify — the capacity-drain path for skewed databases: reads beyond
+    r_cap are re-submitted through the SAME mesh step with only the
+    leftover (read, bin) pairs routed, so hot-bin overflow costs extra
+    mesh passes instead of host single-chip re-maps (config 5 skew
+    tolerance, BASELINE row 5).
     """
     from ..pipeline.map_step import _map_step_core
 
@@ -107,13 +117,19 @@ def build_mesh_dream_step(mesh: Mesh, *, half_loc: int, L: int, B: int,
     assert B % bin_ax == 0, "pad bins to a multiple of the bin axis"
     B_loc = B // bin_ax
     cap2v = 2 * r_cap  # global verify budget per bin: ~1 lane per seq row
+    Wb_in = (B + 31) // 32
 
-    def local_step(fmset: DeviceFMSet, filter_words, blob):
+    def local_step(fmset: DeviceFMSet, filter_words, blob, route_in):
         packed, nmask, lengths = unpack_blob(blob, half_loc, L)
         reads = unpack_reads(packed, nmask, lengths, L)    # (2*half_loc, L)
         lengths2 = jnp.concatenate([lengths, lengths])
 
-        if use_filter:
+        if route_override:
+            bits = ((route_in[:, :, None]
+                     >> jnp.arange(32, dtype=jnp.uint32)[None, None, :]) & 1)
+            cand = bits.reshape(half_loc, Wb_in * 32)[:, :B].astype(bool)
+            cand = cand & (lengths > 0)[:, None]
+        elif use_filter:
             counts, n_sel = ibf_bin_counts(filter_words, reads, lengths2, k,
                                            n_hashes, window)
             cand = routing_from_counts(counts, n_sel, lengths2, k, window,
@@ -184,15 +200,21 @@ def build_mesh_dream_step(mesh: Mesh, *, half_loc: int, L: int, B: int,
         fused=fm_specs.fused, sa_mark_bits=fm_specs.sa_mark_bits,
         sa_rank_ck=fm_specs.sa_rank_ck)
 
-    sharded = jax.shard_map(
-        local_step, mesh=mesh,
-        in_specs=(fmset_spec, P(), P("data")),
-        out_specs=MeshMapOut(
-            begin=P("bin", "data"), end=P("bin", "data"),
-            meta=P("bin", "data"), overflow_total=P("bin", "data"),
-            n_spilled=P("bin", "data"), route_overflow=P("bin", "data"),
-            route_words=P("data"), ovf_rows=P("bin", "data")),
-        check_vma=False)
+    out_specs = MeshMapOut(
+        begin=P("bin", "data"), end=P("bin", "data"),
+        meta=P("bin", "data"), overflow_total=P("bin", "data"),
+        n_spilled=P("bin", "data"), route_overflow=P("bin", "data"),
+        route_words=P("data"), ovf_rows=P("bin", "data"))
+    if route_override:
+        sharded = jax.shard_map(
+            local_step, mesh=mesh,
+            in_specs=(fmset_spec, P(), P("data"), P("data")),
+            out_specs=out_specs, check_vma=False)
+    else:
+        sharded = jax.shard_map(
+            lambda fmset_, fw_, blob_: local_step(fmset_, fw_, blob_, None),
+            mesh=mesh, in_specs=(fmset_spec, P(), P("data")),
+            out_specs=out_specs, check_vma=False)
     return jax.jit(sharded)
 
 
@@ -221,6 +243,18 @@ def pack_batch_blob(seqs_fwd: np.ndarray, lengths: np.ndarray,
         lens[: len(ids)] = lengths[ids]
         blobs.append(pack_blob_with_lengths(seqs_fwd[ids], lens, half_loc, L))
     return np.concatenate(blobs), half_loc
+
+
+def pack_route_words(routing: np.ndarray, B: int) -> np.ndarray:
+    """(n_pad, B) bool -> (n_pad, ceil(B/32)) uint32 (inverse of
+    decode_routing) — the route-override input of the capacity-drain pass."""
+    n_pad = routing.shape[0]
+    Wb = (B + 31) // 32
+    rb = np.zeros((n_pad, Wb * 32), dtype=bool)
+    rb[:, :B] = routing[:, :B]
+    return (rb.reshape(n_pad, Wb, 32).astype(np.uint32)
+            << np.arange(32, dtype=np.uint32)[None, None, :]).sum(
+                axis=2, dtype=np.uint32)
 
 
 def decode_routing(route_words: np.ndarray, n: int, B: int) -> np.ndarray:

@@ -25,7 +25,7 @@ from ..pipeline.seeding import max_errors_for_batch, rate_to_ppm
 from ..utils.options import MapperOptions
 from ..utils.timer import StageTimers
 from .dist_mapper import (MeshMapOut, build_mesh_dream_step, decode_routing,
-                          pack_batch_blob, shard_db)
+                          pack_batch_blob, pack_route_words, shard_db)
 from .mesh import make_mesh
 
 META_ROW_MASK = (1 << 18) - 1
@@ -76,12 +76,17 @@ class MeshDreamMapper:
         if not self.use_filter:
             return half_loc
         # expected per-bin routed reads ~ half_loc * routes/B; 4x headroom,
-        # overflow is counted and re-mapped on host (never dropped)
-        return max(64, min(half_loc, (4 * half_loc + self.B - 1) // self.B))
+        # overflow drains through extra mesh passes (never dropped). When a
+        # batch needed >= 2 drain passes (skewed databases, config 5), the
+        # capacity auto-grows for later batches — one recompile, monotone.
+        base = max(64, min(half_loc, (4 * half_loc + self.B - 1) // self.B))
+        return max(base, min(getattr(self, "_tuned_r_cap", 0), half_loc))
 
     def _step(self, half_loc: int, L: int, r_cap: int, rate_ppm: int,
-              max_err: int, max_slen: int, uniform_len: bool = False):
-        key = (half_loc, L, r_cap, rate_ppm, max_err, uniform_len)
+              max_err: int, max_slen: int, uniform_len: bool = False,
+              route_override: bool = False):
+        key = (half_loc, L, r_cap, rate_ppm, max_err, uniform_len,
+               route_override)
         if key not in self._steps:
             self._steps[key] = build_mesh_dream_step(
                 self.mesh, half_loc=half_loc, L=L, B=self.B, r_cap=r_cap,
@@ -89,7 +94,8 @@ class MeshDreamMapper:
                 max_slen=max_slen, prefix_q=self.prefix_q,
                 sample_rate=self.sample_rate, use_pallas=self.use_pallas,
                 k=self.k, n_hashes=self.n_hashes, window=self.window,
-                use_filter=self.use_filter, uniform_len=uniform_len)
+                use_filter=self.use_filter, uniform_len=uniform_len,
+                route_override=route_override)
         return self._steps[key]
 
     def map_batch(self, batch: ReadBatch,
@@ -114,31 +120,79 @@ class MeshDreamMapper:
         r_cap = self._r_cap(half_loc)
         uniform_len = (bool(np.all(batch.lengths == L))
                        and (L * rate_ppm) // 10_000 == max_err)
-        step = self._step(half_loc, L, r_cap, rate_ppm, max_err, max_slen,
-                          uniform_len)
+        step_key = (half_loc, L, r_cap, rate_ppm, max_err, max_slen,
+                    uniform_len)
+        step = self._step(*step_key)
         with timers.stage("mesh map (device)"):
             out_dev: MeshMapOut = step(self.fmset, self.filter_words,
                                        jnp.asarray(blob))
         return lambda: self._collect(batch, out_dev, n, half_loc, r_cap,
-                                     timers)
+                                     timers, blob=blob, step_key=step_key)
+
+    MAX_DRAIN = 6  # extra mesh passes for route-capacity overflow before
+                   # falling back to the single-chip path (config-5 skew)
 
     def _collect(self, batch: ReadBatch, out_dev: MeshMapOut, n: int,
-                 half_loc: int, r_cap: int, timers: StageTimers) -> Matches:
-        opts = self.opts
+                 half_loc: int, r_cap: int, timers: StageTimers,
+                 blob: np.ndarray | None = None,
+                 step_key: tuple | None = None) -> Matches:
         index = self.index
-        with timers.stage("mesh fetch (device wait)"):
-            out = MeshMapOut(*(np.asarray(x) for x in out_dev))
-
-        routing = decode_routing(out.route_words, n, self.B)
-        D, cap2v = self.data_ax, 2 * r_cap
         parts: list[Matches] = []
-        sens = opts.sensitivity
         # diagnostics: why reads fell back (route-cap vs seed-capacity vs
         # verify-lane spill), accumulated across batches for the bench report
         diag = self.fallback_diag = getattr(
             self, "fallback_diag",
-            {"spill_bins": 0, "route_ovf": 0, "seed_ovf": 0, "routed": 0})
-        diag["routed"] += int(routing.sum())
+            {"spill_bins": 0, "route_ovf": 0, "seed_ovf": 0, "routed": 0,
+             "drain_passes": 0})
+        diag.setdefault("drain_passes", 0)
+
+        n_pad = self.data_ax * half_loc
+        drains = 0
+        while True:
+            with timers.stage("mesh fetch (device wait)"):
+                out = MeshMapOut(*(np.asarray(x) for x in out_dev))
+            routing = decode_routing(out.route_words, n, self.B)
+            diag["routed"] += int(routing.sum())
+            leftover = self._process_out(batch, out, routing, n, half_loc,
+                                         r_cap, n_pad, parts, timers, diag)
+            if not leftover.any():
+                break
+            if blob is None or step_key is None or drains >= self.MAX_DRAIN:
+                # exhausted drain budget: exact single-chip re-map of the rest
+                for b in np.flatnonzero(leftover[:n].any(axis=0)):
+                    ids = np.flatnonzero(leftover[:n, b])
+                    with timers.stage("mesh overflow fallback (host)"):
+                        self._fallback(batch, b, ids,
+                                       int(index.contigs.bin_starts[b]),
+                                       parts, timers)
+                break
+            # capacity drain: re-submit ONLY the leftover (read, bin) pairs
+            # through the same compiled mesh step with a routing override —
+            # hot-bin overflow costs extra device passes, not host re-maps
+            drains += 1
+            diag["drain_passes"] += 1
+            words = pack_route_words(leftover, self.B)
+            step_ov = self._step(*step_key, route_override=True)
+            with timers.stage("mesh map (device)"):
+                out_dev = step_ov(self.fmset, self.filter_words,
+                                  jnp.asarray(blob), jnp.asarray(words))
+        if drains >= 2 and self.r_cap_arg is None:
+            # persistent skew: grow the default capacity for later batches
+            # (one recompile; growth is monotone and capped at half_loc)
+            self._tuned_r_cap = min(half_loc,
+                                    max(getattr(self, "_tuned_r_cap", 0),
+                                        2 * r_cap))
+        return Matches.concat(parts)
+
+    def _process_out(self, batch, out: MeshMapOut, routing, n, half_loc,
+                     r_cap, n_pad, parts, timers, diag):
+        """Decode one mesh pass; returns the (n_pad, B) leftover routing of
+        reads that arrived after r_cap slots filled (route overflow)."""
+        opts = self.opts
+        index = self.index
+        D, cap2v = self.data_ax, 2 * r_cap
+        sens = opts.sensitivity
+        leftover = np.zeros((n_pad, self.B), dtype=bool)
         for b in range(index.n_bins):
             off = int(index.contigs.bin_starts[b])
             ids_b = np.flatnonzero(routing[:, b])
@@ -153,11 +207,11 @@ class MeshDreamMapper:
                     self._fallback(batch, b, ids_b, off, parts, timers)
                 continue
             # surgical per-READ fallback: only reads whose seed hits
-            # overflowed `capacity` (they need the repetitive/full pass) or
-            # that arrived after r_cap slots filled (route overflow) re-map
-            # through the single-chip BinMapper; everything else keeps its
-            # mesh matches — the two extra single-chip passes only ever add
-            # matches for overflowing rows, so per-read granularity preserves
+            # overflowed `capacity` (they need the repetitive/full pass)
+            # re-map through the single-chip BinMapper; route-overflow reads
+            # go to `leftover` for the next drain pass; everything else keeps
+            # its mesh matches — the extra passes only ever add matches for
+            # overflowing rows, so per-read granularity preserves
             # byte-equality with the single-device DREAM pipeline.
             fb_mask = np.zeros(n, dtype=bool)
             with timers.stage("mesh collect (host)"):
@@ -165,7 +219,7 @@ class MeshDreamMapper:
                     lo_ids = ids_b[(ids_b >= d * half_loc)
                                    & (ids_b < (d + 1) * half_loc)]
                     if len(lo_ids) > r_cap:            # route overflow
-                        fb_mask[lo_ids[r_cap:]] = True
+                        leftover[lo_ids[r_cap:], b] = True
                         diag["route_ovf"] += len(lo_ids) - r_cap
                     kslot = min(len(lo_ids), r_cap)
                     if sens != "low":
@@ -196,7 +250,7 @@ class MeshDreamMapper:
             if len(fb_ids):
                 with timers.stage("mesh overflow fallback (host)"):
                     self._fallback(batch, b, fb_ids, off, parts, timers)
-        return Matches.concat(parts)
+        return leftover
 
     def _fallback(self, batch: ReadBatch, b: int, ids: np.ndarray, off: int,
                   parts: list[Matches], timers: StageTimers) -> None:

@@ -100,8 +100,10 @@ def test_mesh_routing_is_selective(db_and_reads):
 
 
 def test_mesh_route_overflow_fallback(db_and_reads):
-    """Undersized routing capacity must fall back to the host path, not drop
-    reads: force r_cap=1 and require byte-identical SAM."""
+    """Undersized routing capacity must never drop reads: force r_cap=1 and
+    require byte-identical SAM. Route overflow drains through extra mesh
+    passes (routing-override input, config-5 skew tolerance); anything past
+    the drain budget re-maps on the host."""
     genomes, index, batch, truth = db_and_reads
     opts = MapperOptions(error_rate=0.03)
     ref = dream_map_sam(index, batch, opts)
@@ -110,8 +112,54 @@ def test_mesh_route_overflow_fallback(db_and_reads):
     timers = StageTimers()
     sam = mesh_dream_sam(mapper, batch, timers=timers)
     assert sam == ref
-    assert any("fallback" in k for k in timers.totals), \
-        "r_cap=1 should have triggered the host fallback"
+    drained = mapper.fallback_diag.get("drain_passes", 0)
+    assert drained > 0 or any("fallback" in k for k in timers.totals), \
+        "r_cap=1 should have drained route overflow or host-fallen-back"
+    assert mapper.fallback_diag["route_ovf"] > 0
+
+
+def test_mesh_skewed_routing_drain_and_autotune():
+    """Config-5 shape: a metagenomic database where one bin dominates the
+    routing (90% of reads). Hot-bin route overflow must drain through extra
+    mesh passes (not host re-maps), stay byte-identical to the single-device
+    pipeline, and auto-grow r_cap for subsequent batches."""
+    rng = np.random.default_rng(41)
+    B = 16
+    genomes = [random_text(rng, 3000) for _ in range(B)]
+    stores = [SeqStore.from_seqs([f"g{b}"], [genomes[b]]) for b in range(B)]
+    fms = [FMIndex.build(st.text) for st in stores]
+    filt = InterleavedBloomFilter.create(B, size_bits=1 << 22, n_hashes=3,
+                                         k=19)
+    for b, g in enumerate(genomes):
+        filt.add_kmers(g, b)
+    index = DreamIndex(stores, fms, filt, "bloom")
+
+    def make_batch(seed):
+        r = np.random.default_rng(seed)
+        names, reads = [], []
+        for i in range(256):
+            b = 0 if i % 10 < 9 else int(r.integers(1, B))   # 90% -> bin 0
+            p = int(r.integers(0, 2900))
+            rd = mutate(rng, genomes[b][p : p + 100].copy(), n_sub=1)
+            names.append(f"s{seed}r{i}")
+            reads.append(rd)
+        return ReadBatch.from_reads(names, reads)
+
+    opts = MapperOptions(error_rate=0.03)
+    mapper = MeshDreamMapper(index, opts, n_devices=8)
+    b1 = make_batch(1)
+    sam1 = mesh_dream_sam(mapper, b1)
+    assert sam1 == dream_map_sam(index, b1, opts)
+    diag = mapper.fallback_diag
+    assert diag["route_ovf"] > 0 and diag["drain_passes"] > 0, diag
+    assert getattr(mapper, "_tuned_r_cap", 0) > 0, \
+        "persistent skew should auto-grow the routing capacity"
+    # second batch runs at the grown capacity and needs fewer drain passes
+    d0 = diag["drain_passes"]
+    b2 = make_batch(2)
+    sam2 = mesh_dream_sam(mapper, b2, header=True)
+    assert sam2 == dream_map_sam(index, b2, opts)
+    assert diag["drain_passes"] - d0 < d0
 
 
 def test_mesh_seed_overflow_fallback():
