@@ -40,6 +40,12 @@ def main(argv=None):
     p.add_argument("-rb", "--reads-batch", type=int, default=100_000)
     p.add_argument("-ft", "--filter-type", default="bloom",
                    choices=["bloom", "kmer_direct", "none"])
+    p.add_argument("--output-shards", default=None, metavar="DIR",
+                   help="crash-safe mode: write one idempotent SAM shard per "
+                        "batch into DIR (atomic rename + manifest); "
+                        "re-running the same command resumes after the last "
+                        "committed shard and then assembles -o from the "
+                        "shards (io/shards.py, failure recovery)")
     p.add_argument("-v", "--verbose", action="count", default=0)
     # distributed runtime (SURVEY.md §5.8): --mesh runs the (data, bin)
     # device mesh on all local devices; the coordinator flags join a
@@ -146,7 +152,6 @@ def main(argv=None):
 
     from .common import open_output
 
-    out = open_output(a.output_file)
     reader = FastqBatchReader(a.reads, a.reads2, batch_size=a.reads_batch)
     n_reads = 0
     stats: dict = {}
@@ -154,23 +159,58 @@ def main(argv=None):
     cmdline = " ".join(argv if argv is not None else sys.argv[1:])
     from ..pipeline.dis_mapper import dream_map_stream
 
-    def counted():
-        nonlocal n_reads
-        for batch in reader:
-            yield batch
+    if a.output_shards:
+        # crash-safe sharded mode (SURVEY §5.3): per-batch atomic shards +
+        # manifest; resume skips committed input and finalize assembles -o
+        from ..io.shards import ShardedSamWriter, skip_reads
+        from ..pipeline.writer import sam_header
 
-    try:
-        for i, sam in enumerate(dream_map_stream(
-                index, counted(), opts, cmdline=cmdline, timers=timers,
-                stats=stats)):
-            out.write_sam(sam)
+        sw = ShardedSamWriter(a.output_shards)
+        sw.write_header("\n".join(sam_header(index.contigs, cmdline)) + "\n")
+        batches = skip_reads(reader, sw.reads_done)
+        if sw.reads_done and a.verbose:
+            print(f"[mapper] resuming after {sw.done_batches} committed "
+                  f"shards ({sw.reads_done} reads)", file=sys.stderr)
+        shard_i = sw.done_batches
+        sizes: list[int] = []
+
+        def sized():
+            for batch in batches:
+                sizes.append(batch.n_reads)
+                yield batch
+
+        for sam in dream_map_stream(index, sized(), opts, cmdline=cmdline,
+                                    timers=timers, stats=stats,
+                                    header=False):
+            # sized() runs ahead in the dispatch thread; pop(0) is the
+            # oldest un-committed batch = the one this sam belongs to
+            sw.write_batch(shard_i, sam, sizes.pop(0))
+            shard_i += 1
             n_reads = stats.get("reads", 0)
-            if a.verbose:
-                print(f"[mapper] batch {i} done "
-                      f"({n_reads / (time.time() - t0):.0f} reads/s cum)",
-                      file=sys.stderr)
-    finally:
-        out.close()
+        if a.output_file and a.output_file != "-":
+            sw.finalize(a.output_file)
+        else:
+            sys.stdout.write(sw.finalize(None))
+    else:
+        out = open_output(a.output_file)
+
+        def counted():
+            nonlocal n_reads
+            for batch in reader:
+                yield batch
+
+        try:
+            for i, sam in enumerate(dream_map_stream(
+                    index, counted(), opts, cmdline=cmdline, timers=timers,
+                    stats=stats)):
+                out.write_sam(sam)
+                n_reads = stats.get("reads", 0)
+                if a.verbose:
+                    print(f"[mapper] batch {i} done "
+                          f"({n_reads / (time.time() - t0):.0f} reads/s cum)",
+                          file=sys.stderr)
+        finally:
+            out.close()
     dt = time.time() - t0
     # final stats block (reference appendStats / --verbose report [U])
     mapped = stats.get("mapped", 0)

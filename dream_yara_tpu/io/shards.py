@@ -1,0 +1,124 @@
+"""Idempotent per-batch output shards — crash-safe mapping runs (SURVEY §5.3).
+
+The reference recovers long runs at file granularity (re-run the failed
+invocation); the streaming TPU pipeline maps per-batch, so the natural
+checkpoint is one OUTPUT SHARD per input batch:
+
+  <dir>/header.sam            SAM header (written once)
+  <dir>/shard_000000.sam      records of batch 0 (no header)
+  <dir>/manifest.json         committed shards: reads consumed + record counts
+
+Every shard is written to a tmp file then os.rename'd (atomic on POSIX), and
+the manifest is rewritten the same way AFTER the shard lands — a crash
+between the two leaves an orphan shard file that is simply overwritten on
+retry. Restarting the same command therefore: (1) reads the manifest,
+(2) skips `reads_done` input reads, (3) continues appending shards, and
+(4) finalize() concatenates header + shards into the requested output —
+byte-identical to an uninterrupted run (tests/test_shards.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from pathlib import Path
+
+
+class ShardedSamWriter:
+    def __init__(self, shard_dir: str | os.PathLike):
+        self.dir = Path(shard_dir)
+        self.dir.mkdir(parents=True, exist_ok=True)
+        self._manifest_path = self.dir / "manifest.json"
+        if self._manifest_path.exists():
+            m = json.loads(self._manifest_path.read_text())
+        else:
+            m = {"shards": [], "reads_done": 0}
+        self.manifest = m
+
+    # --- resume bookkeeping -------------------------------------------------
+
+    @property
+    def done_batches(self) -> int:
+        return len(self.manifest["shards"])
+
+    @property
+    def reads_done(self) -> int:
+        return int(self.manifest["reads_done"])
+
+    # --- writing ------------------------------------------------------------
+
+    def _shard_path(self, i: int) -> Path:
+        return self.dir / f"shard_{i:06d}.sam"
+
+    def write_header(self, header_text: str) -> None:
+        """Idempotent: the header of a resumed run must equal the recorded
+        one (same db + contigs), otherwise the shard dir is from a different
+        run and resuming would silently mix outputs. @PG is excluded from
+        the comparison — it embeds the exact command line, which can differ
+        legitimately on resume; the FIRST run's @PG is kept."""
+        strip = lambda t: [l for l in t.splitlines() if not l.startswith("@PG")]
+        hp = self.dir / "header.sam"
+        if hp.exists():
+            if strip(hp.read_text()) != strip(header_text):
+                raise RuntimeError(
+                    f"{hp}: existing header differs — this shard directory "
+                    f"belongs to a different database/flag combination; "
+                    f"use a fresh --output-shards directory")
+            return
+        self._atomic_write(hp, header_text)
+
+    def write_batch(self, i: int, records_text: str, n_reads: int) -> bool:
+        """Commit batch i's records; returns False if already committed
+        (the resume path must then skip the batch's input instead)."""
+        if i < self.done_batches:
+            return False
+        assert i == self.done_batches, \
+            f"shards must commit in order (got {i}, expected {self.done_batches})"
+        self._atomic_write(self._shard_path(i), records_text)
+        self.manifest["shards"].append({
+            "i": i, "reads": int(n_reads),
+            "records": sum(1 for l in records_text.splitlines() if l)})
+        self.manifest["reads_done"] = self.reads_done + int(n_reads)
+        self._atomic_write(self._manifest_path,
+                           json.dumps(self.manifest, indent=1))
+        return True
+
+    def _atomic_write(self, path: Path, text: str) -> None:
+        tmp = path.with_suffix(path.suffix + ".tmp")
+        tmp.write_text(text)
+        os.replace(tmp, path)
+
+    # --- finish -------------------------------------------------------------
+
+    def finalize(self, out_path: str | None = None) -> str | None:
+        """Concatenate header + shards. With out_path, stream to that file
+        and return None; else return the full SAM text."""
+        parts = [(self.dir / "header.sam").read_text()]
+        for s in self.manifest["shards"]:
+            parts.append(self._shard_path(s["i"]).read_text())
+        text = "".join(parts)
+        if out_path is None:
+            return text
+        tmp = Path(str(out_path) + ".tmp")
+        tmp.write_text(text)
+        os.replace(tmp, out_path)
+        return None
+
+
+def skip_reads(reader, n_skip: int):
+    """Fast-forward a batch iterator past already-committed input reads.
+
+    Batch sizes are deterministic (same -rb flag on resume), so committed
+    work always aligns to whole batches; a mismatch means the flags changed
+    and we refuse rather than emit overlapping or missing records."""
+    skipped = 0
+    it = iter(reader)
+    while skipped < n_skip:
+        b = next(it)
+        skipped += b.n_reads
+        if skipped > n_skip:
+            raise RuntimeError(
+                f"resume mismatch: manifest says {n_skip} reads done but "
+                f"batch boundaries land at {skipped}; rerun with the same "
+                f"-rb/--reads-batch as the original run")
+    return it

@@ -224,7 +224,7 @@ def _rescue_global(index: DreamIndex, batch: ReadBatch, ranked: Ranked,
 
 def dream_map_stream(index: DreamIndex, batches, opts: MapperOptions,
                      cmdline: str = "", timers: StageTimers | None = None,
-                     stats: dict | None = None):
+                     stats: dict | None = None, header: bool = True):
     """Yield SAM text per batch, overlapping device mapping of batch i+1 with
     host post-processing of batch i (two-stage pipeline; the batch-scale
     analog of the reference's prefetched reader, SURVEY.md §2.10 pipeline
@@ -266,7 +266,7 @@ def dream_map_stream(index: DreamIndex, batches, opts: MapperOptions,
 
     t = threading.Thread(target=device_worker, daemon=True)
     t.start()
-    first = True
+    first = header
     while True:
         item = q.get()
         if item is sentinel:
