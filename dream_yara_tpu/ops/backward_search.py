@@ -53,7 +53,7 @@ def seed_search(bwt_blocks, occ, counts, n, reads: jnp.ndarray,
                 max_seed_len: int,
                 pfx_lo=None, pfx_hi=None, prefix_q: int = 0, fused=None,
                 chars_fe: jnp.ndarray | None = None,
-                rank_row_fetch=None, pfx_fetch=None):
+                rank_row_fetch=None, pfx_fetch=None, counts_fetch=None):
     """Exact backward search of variable-length seeds cut from the read matrix.
 
     reads: (R2, L) int8; rows/starts/slens: (S,) int32 — seed s is
@@ -85,7 +85,10 @@ def seed_search(bwt_blocks, occ, counts, n, reads: jnp.ndarray,
     L = reads.shape[1]
     flat = reads.reshape(-1)
     lo0 = jnp.zeros(S, dtype=jnp.int32)
-    hi0 = jnp.where(slens > 0, jnp.full(S, n, dtype=jnp.int32), 0)
+    # n may be a scalar (one bin) or an (S,) per-seed vector (the flat
+    # multi-bin step, pipeline/flat_step.py)
+    n_vec = jnp.broadcast_to(jnp.asarray(n, dtype=jnp.int32), (S,))
+    hi0 = jnp.where(slens > 0, n_vec, 0)
     consumed0 = jnp.zeros(S, dtype=jnp.int32)
     trips = max_seed_len
 
@@ -152,7 +155,7 @@ def seed_search(bwt_blocks, occ, counts, n, reads: jnp.ndarray,
                                row_fetch=rank_row_fetch)
         else:
             ranks = rank(bwt_blocks, occ, jnp.tile(c, 2), bounds)
-        cc = jnp.take(counts, c)
+        cc = jnp.take(counts, c) if counts_fetch is None else counts_fetch(c)
         nlo = cc + ranks[:S]
         nhi = cc + ranks[S:]
         upd = active & (lo < hi)

@@ -8,21 +8,24 @@ merges SAM offline; here the bin axis is a first-class mesh axis). Device
   1. classify: the replicated IBF is queried for shard i's reads (identical
      bit-for-bit to the single-chip classifier, ops/ibf_query.py); the
      (reads, bins) candidate mask is computed once per data shard.
-  2. route: for each LOCAL bin, the reads routed to it are compacted
-     (cumsum + scatter, no sort) into a fixed R_cap-slot buffer — the
-     MoE-style capacity routing that realizes the IBF saving on device,
-     instead of mapping every read against every bin with lane masking.
-     Reads beyond R_cap are counted (route_overflow) and re-mapped on host.
-  3. map: each local bin runs the SAME _map_step_core as the single-chip
-     path (fused rank rows, q-mer prefix table, sampled SA, Pallas verify,
-     global verify-lane compaction) under a lax.scan over local bins.
+  2. route: ALL of the device's routed (read, bin) pairs compact into ONE
+     shared t_cap-slot pool (cumsum + scatter, no sort; bin-major order) —
+     MoE-style capacity routing over a SHARED pool, so slot work scales
+     with total routed pairs, independent of per-bin skew (config 5).
+     Pairs beyond the pool are counted (route_overflow) and drained through
+     an extra mesh pass with an explicit routing override.
+  3. map: the pool maps in ONE fused program over the flattened multi-bin
+     index space (pipeline/flat_step.py) with full single-chip parity
+     (fused rank rows, q-mer prefix table, sampled SA via fused-row LF
+     walks, global verify-lane compaction) — no per-bin lax.scan, so the
+     pass stays dense on the VPU at any bin count.
 
 Every fixed-capacity truncation is COUNTED and surfaced (route_overflow,
-seed overflow_total, verify n_spilled); the host driver re-maps affected
-(bin, reads) subsets through the exact single-chip BinMapper, so the merged
-match set is byte-identical to the single-device DREAM pipeline for any mesh
-shape — fixed capacities never silently drop matches
-(docs/OUTPUT_CONTRACT.md).
+seed overflow_total, verify n_spilled); the host driver drains pool
+overflow through override passes and re-maps seed-overflow/spill pairs
+through the exact single-chip BinMapper, so the merged match set is
+byte-identical to the single-device DREAM pipeline for any mesh shape —
+fixed capacities never silently drop matches (docs/OUTPUT_CONTRACT.md).
 
 Outputs stay BIN-LOCAL int32 coordinates; the host applies the int64 global
 bin offset (databases can exceed 2^31 bp in aggregate).
@@ -44,38 +47,30 @@ from ..ops.readpack import pack_blob_with_lengths, unpack_blob, unpack_reads
 
 
 class MeshMapOut(NamedTuple):
-    """Stacked per-bin outputs; leading axis is the global bin axis."""
+    """Per-DEVICE flat-pool outputs; leading axis is the bin-SHARD axis.
 
-    begin: jnp.ndarray        # (B, D*cap2v) int32 BIN-LOCAL begin
-    end: jnp.ndarray          # (B, D*cap2v) int32 BIN-LOCAL end
-    meta: jnp.ndarray         # (B, D*cap2v) int32: subrow | dist<<18 | ok<<31
-    overflow_total: jnp.ndarray  # (B, D) int32 seed-hit overflow per bin/shard
-    n_spilled: jnp.ndarray    # (B, D) int32 verify-lane spills per bin/shard
-    route_overflow: jnp.ndarray  # (B, D) int32 reads beyond R_cap per bin/shard
+    Each (bin-shard j, data-shard d) device compacts its routed (read, bin)
+    pairs into one shared t_cap-slot pool (pipeline/flat_step.slot_pool) and
+    maps them in ONE fused program; slot order is deterministic (bin-major
+    cumsum), so the host reconstructs slot -> (read, bin) from the routing
+    bits alone (decode_flat_device)."""
+
+    begin: jnp.ndarray        # (bin_ax, D*cap2v) int32 BIN-LOCAL begin
+    end: jnp.ndarray          # (bin_ax, D*cap2v) int32 BIN-LOCAL end
+    meta: jnp.ndarray         # (bin_ax, D*cap2v) int32: row | dist<<20 | ok<<31
+    overflow_total: jnp.ndarray  # (bin_ax, D) int32 seed-hit overflow
+    n_spilled: jnp.ndarray    # (bin_ax, D) int32 verify-lane spills
+    route_overflow: jnp.ndarray  # (bin_ax, D) int32 pairs beyond t_cap
     route_words: jnp.ndarray  # (n_pad, ceil(Bp/32)) uint32 routing bits
-    ovf_rows: jnp.ndarray     # (B, D*2*r_cap) bool: seed-hit overflow per
-                              # ROUTED SLOT ROW (fwd rows then rc rows) — lets
-                              # the host fall back per READ instead of per bin
+    ovf_rows: jnp.ndarray     # (bin_ax, D*2*t_cap) bool: seed-hit overflow per
+                              # SLOT ROW ([t_cap fwd | t_cap rc]) — lets the
+                              # host fall back per (read, bin) pair
 
 
-META_DIST_SHIFT = 18
+META_ROW_BITS = 20            # flat slot rows: up to 2*t_cap < 2^20
+META_ROW_MASK = (1 << META_ROW_BITS) - 1
+META_DIST_SHIFT = META_ROW_BITS
 META_OK_SHIFT = 31
-
-
-def _route_compact(routed: jnp.ndarray, r_cap: int):
-    """Compact the routed read slots of one bin (cumsum + scatter, no sort).
-
-    routed: (n_loc,) bool. Returns (slot_read, slot_valid, overflow):
-    slot_read[s] = local id of the s-th routed read (ascending), s < r_cap.
-    """
-    n_loc = routed.shape[0]
-    pos = jnp.cumsum(routed.astype(jnp.int32)) - 1
-    total = jnp.where(n_loc > 0, pos[-1] + 1, 0)
-    dst = jnp.where(routed & (pos < r_cap), pos, r_cap)
-    slot_read = jnp.zeros(r_cap + 1, jnp.int32).at[dst].set(
-        jnp.arange(n_loc, dtype=jnp.int32))[:r_cap]
-    slot_valid = jnp.arange(r_cap, dtype=jnp.int32) < jnp.minimum(total, r_cap)
-    return slot_read, slot_valid, jnp.maximum(total - r_cap, 0)
 
 
 def routing_from_counts(counts, n_sel, lengths2, k: int, window: int,
@@ -102,21 +97,28 @@ def build_mesh_dream_step(mesh: Mesh, *, half_loc: int, L: int, B: int,
     axis); filter_words replicated; blob = concatenated per-data-shard
     pack_blob_with_lengths uploads, sharded over 'data'.
 
+    `r_cap` is the per-device SHARED slot-pool capacity (t_cap): all routed
+    (read, bin) pairs of a device compact into one pool
+    (pipeline/flat_step.slot_pool) and map in ONE fused program — no per-bin
+    lax.scan, no per-bin slot quantization, so skewed databases (config 5)
+    cost work proportional to TOTAL routed pairs, not B * hottest_bin.
+
     `route_override=True` compiles a variant taking an explicit
     (n_pad, ceil(B/32)) uint32 routing-bit input instead of the IBF
-    classify — the capacity-drain path for skewed databases: reads beyond
-    r_cap are re-submitted through the SAME mesh step with only the
-    leftover (read, bin) pairs routed, so hot-bin overflow costs extra
-    mesh passes instead of host single-chip re-maps (config 5 skew
-    tolerance, BASELINE row 5).
+    classify — the capacity-drain path: pairs beyond the pool re-submit
+    through the SAME mesh step with only the leftover pairs routed, so
+    overflow costs extra device passes, not host single-chip re-maps.
     """
-    from ..pipeline.map_step import _map_step_core
+    from ..pipeline.flat_step import flat_map_step, slot_pool
 
     data_ax = mesh.shape["data"]
     bin_ax = mesh.shape["bin"]
     assert B % bin_ax == 0, "pad bins to a multiple of the bin axis"
+    assert r_cap <= (1 << (META_ROW_BITS - 1)), \
+        "slot pool exceeds the meta row field"
     B_loc = B // bin_ax
-    cap2v = 2 * r_cap  # global verify budget per bin: ~1 lane per seq row
+    t_cap = r_cap
+    cap2v = 2 * t_cap  # global verify budget: ~1 lane per slot row
     Wb_in = (B + 31) // 32
 
     def local_step(fmset: DeviceFMSet, filter_words, blob, route_in):
@@ -148,42 +150,26 @@ def build_mesh_dream_step(mesh: Mesh, *, half_loc: int, L: int, B: int,
         base = jax.lax.axis_index("bin") * B_loc
         local_cols = jax.lax.dynamic_slice_in_dim(cand, base, B_loc, axis=1)
 
-        def map_one_bin(_, xs):
-            fm_b, routed = xs
-            slot_read, slot_valid, route_ovf = _route_compact(routed, r_cap)
-            sub_fwd = jnp.take(reads, slot_read, axis=0)
-            sub_rc = jnp.take(reads, half_loc + slot_read, axis=0)
-            sub_reads = jnp.concatenate([sub_fwd, sub_rc], axis=0)
-            mask_col = jnp.where(slot_valid, 0, 4).astype(jnp.int8)[:, None]
-            sub_reads = jnp.where(
-                jnp.tile(mask_col, (2, 1)) == 4, jnp.int8(4), sub_reads)
-            sub_lens = jnp.where(slot_valid, jnp.take(lengths, slot_read), 0)
-
-            out = _map_step_core(
-                fm_b, sub_reads, sub_lens, rate_ppm, max_errors, capacity,
-                max_slen, None, cap2v, prefix_q, use_pallas, sample_rate,
-                uniform_len)
-            meta = (out.row
-                    | (jnp.clip(out.dist, 0, 31) << META_DIST_SHIFT)
-                    | (out.ok.astype(jnp.int32) << META_OK_SHIFT))
-            # per seq-row seed overflow (seeds are (R2, ns) row-major)
-            ovf_row = out.overflow.reshape(2 * r_cap, -1).sum(axis=1) > 0
-            return None, (out.begin, out.end, meta, out.overflow_total,
-                          out.n_spilled, route_ovf, ovf_row)
-
-        fm_xs = DeviceFM(
-            bwt_blocks=fmset.bwt_blocks, occ=fmset.occ, counts=fmset.counts,
-            sa=fmset.sa, text=fmset.text, n=fmset.n,
-            pfx_lo=fmset.pfx_lo, pfx_hi=fmset.pfx_hi, fused=fmset.fused,
-            sa_mark_bits=fmset.sa_mark_bits, sa_rank_ck=fmset.sa_rank_ck)
-        _, ys = jax.lax.scan(map_one_bin, None,
-                             (fm_xs, local_cols.T.astype(bool)))
-        begin, end, meta, ovf, spill, route_ovf, ovf_rows = ys
+        read_slot, bin_slot, valid, route_ovf = slot_pool(local_cols, t_cap)
+        out = flat_map_step(
+            fmset, reads, lengths, read_slot, bin_slot, valid,
+            half_loc=half_loc, rate_ppm=rate_ppm, max_errors=max_errors,
+            capacity=capacity, max_slen=max_slen, prefix_q=prefix_q,
+            compact_cap=cap2v, uniform_len=uniform_len,
+            sample_rate=sample_rate)
+        meta = (out.row
+                | (jnp.clip(out.dist, 0, 31) << META_DIST_SHIFT)
+                | (out.ok.astype(jnp.int32) << META_OK_SHIFT))
+        # per slot-row seed overflow (seeds are (2T, ns) row-major)
+        ovf_row = out.overflow.reshape(2 * t_cap, -1).sum(axis=1) > 0
+        one = lambda x: jnp.asarray(x, jnp.int32).reshape(1, 1)
         return MeshMapOut(
-            begin=begin, end=end, meta=meta,
-            overflow_total=ovf[:, None], n_spilled=spill[:, None],
-            route_overflow=route_ovf[:, None], route_words=route_words,
-            ovf_rows=ovf_rows)
+            begin=out.begin[None, :], end=out.end[None, :],
+            meta=meta[None, :],
+            overflow_total=one(out.overflow_total),
+            n_spilled=one(out.n_spilled),
+            route_overflow=one(route_ovf), route_words=route_words,
+            ovf_rows=ovf_row[None, :])
 
     fm_specs = DeviceFM(
         bwt_blocks=P("bin"), occ=P("bin"), counts=P("bin"), sa=P("bin"),
@@ -243,6 +229,75 @@ def pack_batch_blob(seqs_fwd: np.ndarray, lengths: np.ndarray,
         lens[: len(ids)] = lengths[ids]
         blobs.append(pack_blob_with_lengths(seqs_fwd[ids], lens, half_loc, L))
     return np.concatenate(blobs), half_loc
+
+
+def decode_flat_device(out: "MeshMapOut", jrow: int, d: int,
+                       routing: np.ndarray, half_loc: int, B_loc: int,
+                       t_cap: int, sens: str, bin_col0: int | None = None):
+    """Decode one (bin-shard j, data-shard d) device's flat-pool output.
+
+    Slot order is the device's deterministic bin-major cumsum
+    (pipeline/flat_step.slot_pool), reconstructed here from the routing
+    bits — no slot arrays cross the tunnel.
+
+    Returns (m, fb_pairs, leftover_pairs, spilled):
+      m: dict of match arrays (read_id, bin_local, strand, begin, end, dist)
+         with bin_local in [0, B_loc) — caller adds the shard's bin base and
+         per-match global offsets; None when the device found nothing.
+      fb_pairs: (reads, bins_local) whose seed hits overflowed `capacity`
+         (exhaustive re-map needed); their pool matches are ALREADY dropped.
+      leftover_pairs: (reads, bins_local) beyond the pool (drain pass).
+      spilled: verify-lane compaction spilled — caller must re-map ALL of
+         this device's routed pairs (m is then None).
+    """
+    if bin_col0 is None:
+        bin_col0 = jrow * B_loc   # single-process layout: row j = shard j
+    n = routing.shape[0]
+    r0 = d * half_loc
+    rsub = np.zeros((half_loc, B_loc), dtype=bool)
+    rows = routing[r0 : min(r0 + half_loc, n)]
+    rsub[: rows.shape[0]] = rows[:, bin_col0 : bin_col0 + B_loc]
+    src = np.flatnonzero(rsub.T.reshape(-1))          # bin-major slot order
+    slots, leftover_src = src[:t_cap], src[t_cap:]
+    bin_l = (slots // half_loc).astype(np.int64)
+    read_l = (slots % half_loc).astype(np.int64)
+    leftover_pairs = (r0 + leftover_src % half_loc,
+                      leftover_src // half_loc)
+    n_slots = len(slots)
+
+    if int(out.n_spilled[jrow, d]) > 0:
+        return None, (np.zeros(0, np.int64), np.zeros(0, np.int64)), \
+            leftover_pairs, True
+
+    # per-pair seed-capacity overflow -> exhaustive re-map of those pairs
+    cap2 = 2 * t_cap
+    ovf = out.ovf_rows[jrow, d * cap2 : (d + 1) * cap2]
+    slot_ovf = (ovf[:t_cap] | ovf[t_cap:])[:n_slots]
+    if sens == "low":
+        slot_ovf = np.zeros(n_slots, dtype=bool)
+    fb_pairs = (r0 + read_l[slot_ovf], bin_l[slot_ovf])
+
+    meta = out.meta[jrow, d * cap2 : (d + 1) * cap2].view(np.uint32)
+    ok = (meta >> META_OK_SHIFT) > 0
+    if not ok.any():
+        return None, fb_pairs, leftover_pairs, False
+    meta = meta[ok]
+    row = (meta & META_ROW_MASK).astype(np.int64)
+    dist = ((meta >> META_DIST_SHIFT) & 31).astype(np.int32)
+    slot = row % t_cap
+    strand = (row // t_cap).astype(np.int8)
+    keep = slot < n_slots
+    if slot_ovf.any():
+        keep &= ~np.where(keep, slot_ovf[np.minimum(slot, n_slots - 1)],
+                          False)
+    m = dict(
+        read_id=(r0 + read_l[np.minimum(slot, n_slots - 1)])[keep],
+        bin_local=bin_l[np.minimum(slot, n_slots - 1)][keep],
+        strand=strand[keep],
+        begin=out.begin[jrow, d * cap2 : (d + 1) * cap2][ok][keep].astype(np.int64),
+        end=out.end[jrow, d * cap2 : (d + 1) * cap2][ok][keep].astype(np.int64),
+        dist=dist[keep])
+    return m, fb_pairs, leftover_pairs, False
 
 
 def pack_route_words(routing: np.ndarray, B: int) -> np.ndarray:

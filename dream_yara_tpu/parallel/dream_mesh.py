@@ -24,11 +24,10 @@ from ..pipeline.matches import Matches
 from ..pipeline.seeding import max_errors_for_batch, rate_to_ppm
 from ..utils.options import MapperOptions
 from ..utils.timer import StageTimers
-from .dist_mapper import (MeshMapOut, build_mesh_dream_step, decode_routing,
-                          pack_batch_blob, pack_route_words, shard_db)
+from .dist_mapper import (META_ROW_MASK, MeshMapOut, build_mesh_dream_step,
+                          decode_flat_device, decode_routing, pack_batch_blob,
+                          pack_route_words, shard_db)
 from .mesh import make_mesh
-
-META_ROW_MASK = (1 << 18) - 1
 
 
 class MeshDreamMapper:
@@ -70,17 +69,29 @@ class MeshDreamMapper:
             self.k = self.n_hashes = self.window = 0
         self._steps: dict = {}
 
+    POOL_MAX = 1 << 19   # meta row field bound (dist_mapper.META_ROW_BITS)
+
     def _r_cap(self, half_loc: int) -> int:
+        """Per-device SHARED slot-pool capacity (see flat_step.slot_pool):
+        expected routed pairs ~ half_loc * (1 + IBF FP) / bin_ax, so 2x the
+        read shard (split over the bin axis) absorbs any routing skew —
+        unlike the old per-bin capacity, a hot bin just uses more of the
+        pool. Overflow drains through extra mesh passes (never dropped);
+        >= 2 drains in a batch auto-grows the pool for later batches."""
         if self.r_cap_arg is not None:
-            return min(self.r_cap_arg, half_loc)
+            return min(self.r_cap_arg, self.POOL_MAX)
+        # ~1 route/read + IBF FPs in practice; 1.25x headroom — a tighter
+        # pool shrinks every downstream buffer (verify lanes, d2h fetch),
+        # and a genuinely multi-routed workload drains + auto-grows
+        base = max(256, min(2 * half_loc,
+                            (5 * half_loc // 4 + self.bin_ax - 1)
+                            // self.bin_ax))
         if not self.use_filter:
-            return half_loc
-        # expected per-bin routed reads ~ half_loc * routes/B; 4x headroom,
-        # overflow drains through extra mesh passes (never dropped). When a
-        # batch needed >= 2 drain passes (skewed databases, config 5), the
-        # capacity auto-grows for later batches — one recompile, monotone.
-        base = max(64, min(half_loc, (4 * half_loc + self.B - 1) // self.B))
-        return max(base, min(getattr(self, "_tuned_r_cap", 0), half_loc))
+            # no prefilter: every read maps against every local bin
+            base = min(half_loc * ((self.B + self.bin_ax - 1) // self.bin_ax),
+                       self.POOL_MAX)
+        return min(self.POOL_MAX,
+                   max(base, getattr(self, "_tuned_r_cap", 0)))
 
     def _step(self, half_loc: int, L: int, r_cap: int, rate_ppm: int,
               max_err: int, max_slen: int, uniform_len: bool = False,
@@ -177,79 +188,76 @@ class MeshDreamMapper:
                 out_dev = step_ov(self.fmset, self.filter_words,
                                   jnp.asarray(blob), jnp.asarray(words))
         if drains >= 2 and self.r_cap_arg is None:
-            # persistent skew: grow the default capacity for later batches
-            # (one recompile; growth is monotone and capped at half_loc)
-            self._tuned_r_cap = min(half_loc,
+            # persistent overflow: grow the default pool for later batches
+            # (one recompile; growth is monotone, capped by the meta field)
+            self._tuned_r_cap = min(self.POOL_MAX,
                                     max(getattr(self, "_tuned_r_cap", 0),
                                         2 * r_cap))
         return Matches.concat(parts)
 
     def _process_out(self, batch, out: MeshMapOut, routing, n, half_loc,
                      r_cap, n_pad, parts, timers, diag):
-        """Decode one mesh pass; returns the (n_pad, B) leftover routing of
-        reads that arrived after r_cap slots filled (route overflow)."""
-        opts = self.opts
+        """Decode one mesh pass (flat slot-pool layout, decode_flat_device);
+        returns the (n_pad, B) leftover routing of pairs beyond each
+        device's pool (drained through an override pass)."""
         index = self.index
-        D, cap2v = self.data_ax, 2 * r_cap
-        sens = opts.sensitivity
+        B_loc = self.B // self.bin_ax
+        sens = self.opts.sensitivity
+        bin_starts = index.contigs.bin_starts
         leftover = np.zeros((n_pad, self.B), dtype=bool)
-        for b in range(index.n_bins):
-            off = int(index.contigs.bin_starts[b])
-            ids_b = np.flatnonzero(routing[:, b])
-            if len(ids_b) == 0:
-                continue
-            if int(out.n_spilled[b].sum()) > 0:
-                diag["spill_bins"] += 1
-                # verify-lane compaction spilled (rare at cap2v = 2 lanes per
-                # routed read): re-map the bin's routed subset through the
-                # exact single-chip path (byte-equality, never silent drops)
-                with timers.stage("mesh spill fallback (host)"):
-                    self._fallback(batch, b, ids_b, off, parts, timers)
-                continue
-            # surgical per-READ fallback: only reads whose seed hits
-            # overflowed `capacity` (they need the repetitive/full pass)
-            # re-map through the single-chip BinMapper; route-overflow reads
-            # go to `leftover` for the next drain pass; everything else keeps
-            # its mesh matches — the extra passes only ever add matches for
-            # overflowing rows, so per-read granularity preserves
-            # byte-equality with the single-device DREAM pipeline.
-            fb_mask = np.zeros(n, dtype=bool)
-            with timers.stage("mesh collect (host)"):
-                for d in range(D):
-                    lo_ids = ids_b[(ids_b >= d * half_loc)
-                                   & (ids_b < (d + 1) * half_loc)]
-                    if len(lo_ids) > r_cap:            # route overflow
-                        leftover[lo_ids[r_cap:], b] = True
-                        diag["route_ovf"] += len(lo_ids) - r_cap
-                    kslot = min(len(lo_ids), r_cap)
-                    if sens != "low":
-                        ovf = out.ovf_rows[b, d * cap2v : (d + 1) * cap2v]
-                        slot_ovf = ovf[:r_cap] | ovf[r_cap:]   # fwd | rc row
-                        fb_mask[lo_ids[:kslot][slot_ovf[:kslot]]] = True
-                        diag["seed_ovf"] += int(slot_ovf[:kslot].sum())
-                    meta = out.meta[b, d * cap2v : (d + 1) * cap2v]
-                    ok = (meta.view(np.uint32) >> 31) > 0
-                    if not ok.any():
-                        continue
-                    meta = meta[ok]
-                    subrow = (meta & META_ROW_MASK).astype(np.int64)
-                    dist = ((meta >> 18) & 31).astype(np.int32)
-                    begin = out.begin[b, d * cap2v : (d + 1) * cap2v][ok]
-                    end = out.end[b, d * cap2v : (d + 1) * cap2v][ok]
-                    slot = subrow % r_cap
-                    strand = (subrow // r_cap).astype(np.int8)
-                    read_id = lo_ids[slot]
-                    keep = ~fb_mask[read_id]           # fallback reads: the
-                    parts.append(Matches(               # re-map is exhaustive
-                        read_id=read_id[keep].astype(np.int32),
-                        strand=strand[keep],
-                        begin=begin[keep].astype(np.int64) + off,
-                        end=end[keep].astype(np.int64) + off,
-                        dist=dist[keep]))
-            fb_ids = np.flatnonzero(fb_mask)
-            if len(fb_ids):
-                with timers.stage("mesh overflow fallback (host)"):
-                    self._fallback(batch, b, fb_ids, off, parts, timers)
+        fb_by_bin: dict[int, list] = {}
+        for j in range(self.bin_ax):
+            for d in range(self.data_ax):
+                with timers.stage("mesh collect (host)"):
+                    m, fb, lo_pairs, spilled = decode_flat_device(
+                        out, j, d, routing, half_loc, B_loc, r_cap, sens)
+                if spilled:
+                    diag["spill_bins"] += 1
+                    # verify-lane compaction spilled (rare at ~2 lanes per
+                    # slot row): re-map this device's routed pairs through
+                    # the exact single-chip path (never silent drops)
+                    with timers.stage("mesh spill fallback (host)"):
+                        for lb in range(B_loc):
+                            b = j * B_loc + lb
+                            if b >= index.n_bins:
+                                continue
+                            sub = routing[d * half_loc :
+                                          min((d + 1) * half_loc, n), b]
+                            ids = np.flatnonzero(sub) + d * half_loc
+                            if len(ids):
+                                self._fallback(batch, b, ids,
+                                               int(bin_starts[b]), parts,
+                                               timers)
+                    continue
+                lr, lb_ = lo_pairs
+                if len(lr):
+                    leftover[lr, j * B_loc + lb_] = True
+                    diag["route_ovf"] += len(lr)
+                # surgical per-(read, bin) fallback for seed-hit overflow:
+                # the exhaustive single-chip re-map replaces the pair's pool
+                # matches (already dropped by the decoder), preserving
+                # byte-equality with the single-device DREAM pipeline
+                fr, fbin = fb
+                for b_loc in np.unique(fbin):
+                    b = j * B_loc + int(b_loc)
+                    ids = fr[fbin == b_loc]
+                    diag["seed_ovf"] += len(ids)
+                    fb_by_bin.setdefault(b, []).append(ids)
+                if m is not None:
+                    bin_g = j * B_loc + m["bin_local"]
+                    off = bin_starts[np.minimum(bin_g,
+                                                len(bin_starts) - 1)]
+                    parts.append(Matches(
+                        read_id=m["read_id"].astype(np.int32),
+                        strand=m["strand"],
+                        begin=m["begin"] + off,
+                        end=m["end"] + off,
+                        dist=m["dist"]))
+        for b, idss in sorted(fb_by_bin.items()):
+            ids = np.unique(np.concatenate(idss))
+            with timers.stage("mesh overflow fallback (host)"):
+                self._fallback(batch, b, ids, int(bin_starts[b]), parts,
+                               timers)
         return leftover
 
     def _fallback(self, batch: ReadBatch, b: int, ids: np.ndarray, off: int,

@@ -43,9 +43,8 @@ from ..pipeline.seeding import max_errors_for_batch, rate_to_ppm
 from ..pipeline.writer import GlobalContigs
 from ..utils.options import MapperOptions
 from ..utils.timer import StageTimers
-from .dist_mapper import (build_mesh_dream_step, decode_routing,
-                          pack_batch_blob)
-from .dream_mesh import META_ROW_MASK, MeshMapOut
+from .dist_mapper import (MeshMapOut, build_mesh_dream_step,
+                          decode_flat_device, decode_routing, pack_batch_blob)
 
 
 def init_multihost(coordinator: str, num_processes: int, process_id: int):
@@ -204,12 +203,18 @@ class MultiHostDreamMapper:
 
     # --- step construction -------------------------------------------------
 
+    POOL_MAX = 1 << 19   # meta row field bound (dist_mapper.META_ROW_BITS)
+
     def _r_cap(self, half_loc: int) -> int:
+        """Per-device shared slot-pool capacity (see dream_mesh._r_cap)."""
         if self.r_cap_arg is not None:
-            return min(self.r_cap_arg, half_loc)
+            return min(self.r_cap_arg, self.POOL_MAX)
         if self.filter is None:
-            return half_loc
-        return max(64, min(half_loc, (4 * half_loc + self.B - 1) // self.B))
+            return min(half_loc * self.B_loc, self.POOL_MAX)
+        return min(self.POOL_MAX,
+                   max(256, min(2 * half_loc,
+                                (2 * half_loc + self.bin_ax - 1)
+                                // self.bin_ax)))
 
     def _step(self, half_loc, L, r_cap, rate_ppm, max_err, max_slen):
         key = (half_loc, L, r_cap, rate_ppm, max_err)
@@ -265,60 +270,51 @@ class MultiHostDreamMapper:
                 for x, sp in zip(out, specs)))
 
         routing = decode_routing(out.route_words, n, self.B)
-        D, cap2v = self.data_ax, 2 * r_cap
         local_parts: list[Matches] = []
         sens = opts.sensitivity
-        for b in self.my_bins:
-            bl = b - self.pid * self.B_loc          # local row in our shard
-            off = int(self.contigs.bin_starts[b])
-            ids_b = np.flatnonzero(routing[:, b])
-            if len(ids_b) == 0:
-                continue
-            if int(out.n_spilled[bl].sum()) > 0:
-                # verify-lane spill (rare): the owning host re-maps the whole
-                # routed subset on its single-chip path
-                with timers.stage("mesh spill fallback (host)"):
-                    self._host_fallback(batch, b, ids_b, off, local_parts)
-                continue
-            # per-READ fallback for seed-capacity / route-capacity overflow
-            # (same surgical scheme as parallel/dream_mesh.py: the single-chip
-            # extra passes only add matches for overflowing rows, so per-read
-            # granularity keeps the merged set byte-identical)
-            fb_mask = np.zeros(n, dtype=bool)
+        bin_starts = self.contigs.bin_starts
+        # this process holds exactly ONE bin-shard row of the flat-pool
+        # output (bin axis spans processes); decode each data shard and
+        # re-map spill / seed-overflow / pool-overflow pairs on ITS bins'
+        # single-chip path (other hosts contribute nothing for them)
+        fb_by_bin: dict[int, list] = {}
+        for d in range(self.data_ax):
             with timers.stage("mesh collect (host)"):
-                for d in range(D):
-                    lo_ids = ids_b[(ids_b >= d * half_loc)
-                                   & (ids_b < (d + 1) * half_loc)]
-                    if len(lo_ids) > r_cap:
-                        fb_mask[lo_ids[r_cap:]] = True
-                    kslot = min(len(lo_ids), r_cap)
-                    if sens != "low":
-                        ovf = out.ovf_rows[bl, d * cap2v : (d + 1) * cap2v]
-                        slot_ovf = ovf[:r_cap] | ovf[r_cap:]
-                        fb_mask[lo_ids[:kslot][slot_ovf[:kslot]]] = True
-                    meta = out.meta[bl, d * cap2v : (d + 1) * cap2v]
-                    ok = (meta.view(np.uint32) >> 31) > 0
-                    if not ok.any():
-                        continue
-                    meta = meta[ok]
-                    subrow = (meta & META_ROW_MASK).astype(np.int64)
-                    dist = ((meta >> 18) & 31).astype(np.int32)
-                    begin = out.begin[bl, d * cap2v : (d + 1) * cap2v][ok]
-                    end = out.end[bl, d * cap2v : (d + 1) * cap2v][ok]
-                    slot = subrow % r_cap
-                    strand = (subrow // r_cap).astype(np.int8)
-                    read_id = lo_ids[slot]
-                    keep = ~fb_mask[read_id]
-                    local_parts.append(Matches(
-                        read_id=read_id[keep].astype(np.int32),
-                        strand=strand[keep],
-                        begin=begin[keep].astype(np.int64) + off,
-                        end=end[keep].astype(np.int64) + off,
-                        dist=dist[keep]))
-            fb_ids = np.flatnonzero(fb_mask)
-            if len(fb_ids):
-                with timers.stage("mesh overflow fallback (host)"):
-                    self._host_fallback(batch, b, fb_ids, off, local_parts)
+                m, fb, lo_pairs, spilled = decode_flat_device(
+                    out, 0, d, routing, half_loc, self.B_loc, r_cap, sens,
+                    bin_col0=self.pid * self.B_loc)
+            if spilled:
+                with timers.stage("mesh spill fallback (host)"):
+                    for b in self.my_bins:
+                        sub = routing[d * half_loc :
+                                      min((d + 1) * half_loc, n), b]
+                        ids = np.flatnonzero(sub) + d * half_loc
+                        if len(ids):
+                            self._host_fallback(batch, b, ids,
+                                                int(bin_starts[b]),
+                                                local_parts)
+                continue
+            for reads_p, bins_p in (fb, lo_pairs):
+                for b_loc in np.unique(bins_p):
+                    b = self.pid * self.B_loc + int(b_loc)
+                    fb_by_bin.setdefault(b, []).append(
+                        reads_p[bins_p == b_loc])
+            if m is not None:
+                bin_g = self.pid * self.B_loc + m["bin_local"]
+                off = bin_starts[np.minimum(bin_g, len(bin_starts) - 1)]
+                local_parts.append(Matches(
+                    read_id=m["read_id"].astype(np.int32),
+                    strand=m["strand"],
+                    begin=m["begin"] + off,
+                    end=m["end"] + off,
+                    dist=m["dist"]))
+        for b, idss in sorted(fb_by_bin.items()):
+            if b >= self.n_bins:
+                continue
+            ids = np.unique(np.concatenate(idss))
+            with timers.stage("mesh overflow fallback (host)"):
+                self._host_fallback(batch, b, ids, int(bin_starts[b]),
+                                    local_parts)
         with timers.stage("cross-host merge"):
             return allgather_matches(Matches.concat(local_parts))
 

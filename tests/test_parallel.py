@@ -120,9 +120,10 @@ def test_mesh_route_overflow_fallback(db_and_reads):
 
 def test_mesh_skewed_routing_drain_and_autotune():
     """Config-5 shape: a metagenomic database where one bin dominates the
-    routing (90% of reads). Hot-bin route overflow must drain through extra
-    mesh passes (not host re-maps), stay byte-identical to the single-device
-    pipeline, and auto-grow r_cap for subsequent batches."""
+    routing (90% of reads). The shared slot pool absorbs skew up to its
+    capacity; beyond it, overflow must drain through extra mesh passes (not
+    host re-maps), stay byte-identical to the single-device pipeline, and
+    auto-grow the pool for subsequent batches."""
     rng = np.random.default_rng(41)
     B = 16
     genomes = [random_text(rng, 3000) for _ in range(B)]
@@ -133,11 +134,12 @@ def test_mesh_skewed_routing_drain_and_autotune():
     for b, g in enumerate(genomes):
         filt.add_kmers(g, b)
     index = DreamIndex(stores, fms, filt, "bloom")
+    n_reads = 1024   # hot device routed ~0.9*1024 > default pool (256)
 
     def make_batch(seed):
         r = np.random.default_rng(seed)
         names, reads = [], []
-        for i in range(256):
+        for i in range(n_reads):
             b = 0 if i % 10 < 9 else int(r.integers(1, B))   # 90% -> bin 0
             p = int(r.integers(0, 2900))
             rd = mutate(rng, genomes[b][p : p + 100].copy(), n_sub=1)
@@ -153,8 +155,8 @@ def test_mesh_skewed_routing_drain_and_autotune():
     diag = mapper.fallback_diag
     assert diag["route_ovf"] > 0 and diag["drain_passes"] > 0, diag
     assert getattr(mapper, "_tuned_r_cap", 0) > 0, \
-        "persistent skew should auto-grow the routing capacity"
-    # second batch runs at the grown capacity and needs fewer drain passes
+        "persistent overflow should auto-grow the slot pool"
+    # second batch runs at the grown pool and needs fewer drain passes
     d0 = diag["drain_passes"]
     b2 = make_batch(2)
     sam2 = mesh_dream_sam(mapper, b2, header=True)
