@@ -132,15 +132,35 @@ def main(argv=None):
 
         mm = MeshDreamMapper(index, opts)
         reader = FastqBatchReader(a.reads, a.reads2, batch_size=a.reads_batch)
-        out = open_output(a.output_file)
         stats = {}
-        header = True
         t0 = time.time()
-        for batch in reader:
-            out.write_sam(mesh_dream_sam(mm, batch, timers=timers,
-                                         header=header, stats=stats))
-            header = False
-        out.close()
+        if a.output_shards:
+            from ..io.shards import ShardedSamWriter, skip_reads
+            from ..pipeline.writer import sam_header
+
+            cmdline = " ".join(argv if argv is not None else sys.argv[1:])
+            sw = ShardedSamWriter(a.output_shards)
+            sw.write_header("\n".join(sam_header(index.contigs, cmdline))
+                            + "\n")
+            batches = skip_reads(reader, sw.reads_done)
+            shard_i = sw.done_batches
+            for batch in batches:
+                sam = mesh_dream_sam(mm, batch, timers=timers, header=False,
+                                     stats=stats)
+                sw.write_batch(shard_i, sam, batch.n_reads)
+                shard_i += 1
+            if a.output_file and a.output_file != "-":
+                sw.finalize(a.output_file)
+            else:
+                sys.stdout.write(sw.finalize(None))
+        else:
+            out = open_output(a.output_file)
+            header = True
+            for batch in reader:
+                out.write_sam(mesh_dream_sam(mm, batch, timers=timers,
+                                             header=header, stats=stats))
+                header = False
+            out.close()
         dt = time.time() - t0
         n_reads = stats.get("reads", 0)
         print(f"[mapper mesh={dict(mm.mesh.shape)}] {n_reads} reads in "

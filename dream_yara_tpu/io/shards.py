@@ -92,13 +92,23 @@ class ShardedSamWriter:
 
     def finalize(self, out_path: str | None = None) -> str | None:
         """Concatenate header + shards. With out_path, stream to that file
-        and return None; else return the full SAM text."""
+        (BGZF-compressed BAM when it ends with .bam, like the direct
+        writer) and return None; else return the full SAM text."""
         parts = [(self.dir / "header.sam").read_text()]
         for s in self.manifest["shards"]:
             parts.append(self._shard_path(s["i"]).read_text())
         text = "".join(parts)
         if out_path is None:
             return text
+        if str(out_path).endswith(".bam"):
+            from .bam import BamWriter
+
+            tmp = Path(str(out_path) + ".tmp")
+            w = BamWriter(open(tmp, "wb"))
+            w.write_sam(text)
+            w.close()
+            os.replace(tmp, out_path)
+            return None
         tmp = Path(str(out_path) + ".tmp")
         tmp.write_text(text)
         os.replace(tmp, out_path)
