@@ -34,6 +34,11 @@ def check_hbm_ceiling(n_bp: int, sample_rate: int, hbm_gb: float, bin_id,
     parallel/sharded_fm.py splits every table over a mesh axis)."""
     need = n_bp * device_bytes_per_bp(sample_rate)
     budget = hbm_gb * (1 << 30) * 0.8  # leave 20% for activations
+    if need > budget and allow_oversize and sample_rate != 1:
+        sys.exit("error: --allow-oversize requires --sample-rate 1: the "
+                 "sharded big-bin mapper (parallel/sharded_fm.py) shards "
+                 "the FULL suffix array across devices instead of "
+                 "sampling it")
     if need > budget and allow_oversize:
         print(f"[indexer] bin {bin_id}: ~{need / 2**30:.1f} GiB exceeds one "
               f"device's HBM; map it with ShardedBinMapper over "

@@ -135,24 +135,18 @@ def main(argv=None):
         stats = {}
         t0 = time.time()
         if a.output_shards:
-            from ..io.shards import ShardedSamWriter, skip_reads
+            from ..io.shards import drive_sharded_stream
             from ..pipeline.writer import sam_header
 
             cmdline = " ".join(argv if argv is not None else sys.argv[1:])
-            sw = ShardedSamWriter(a.output_shards)
-            sw.write_header("\n".join(sam_header(index.contigs, cmdline))
-                            + "\n")
-            batches = skip_reads(reader, sw.reads_done)
-            shard_i = sw.done_batches
-            for batch in batches:
-                sam = mesh_dream_sam(mm, batch, timers=timers, header=False,
-                                     stats=stats)
-                sw.write_batch(shard_i, sam, batch.n_reads)
-                shard_i += 1
-            if a.output_file and a.output_file != "-":
-                sw.finalize(a.output_file)
-            else:
-                sys.stdout.write(sw.finalize(None))
+            text = drive_sharded_stream(
+                reader, a.output_shards,
+                "\n".join(sam_header(index.contigs, cmdline)) + "\n",
+                lambda bs: (mesh_dream_sam(mm, b, timers=timers, header=False,
+                                           stats=stats) for b in bs),
+                a.output_file)
+            if text is not None:
+                sys.stdout.write(text)
         else:
             out = open_output(a.output_file)
             header = True
@@ -182,35 +176,19 @@ def main(argv=None):
     if a.output_shards:
         # crash-safe sharded mode (SURVEY §5.3): per-batch atomic shards +
         # manifest; resume skips committed input and finalize assembles -o
-        from ..io.shards import ShardedSamWriter, skip_reads
+        from ..io.shards import drive_sharded_stream
         from ..pipeline.writer import sam_header
 
-        sw = ShardedSamWriter(a.output_shards)
-        sw.write_header("\n".join(sam_header(index.contigs, cmdline)) + "\n")
-        batches = skip_reads(reader, sw.reads_done)
-        if sw.reads_done and a.verbose:
-            print(f"[mapper] resuming after {sw.done_batches} committed "
-                  f"shards ({sw.reads_done} reads)", file=sys.stderr)
-        shard_i = sw.done_batches
-        sizes: list[int] = []
-
-        def sized():
-            for batch in batches:
-                sizes.append(batch.n_reads)
-                yield batch
-
-        for sam in dream_map_stream(index, sized(), opts, cmdline=cmdline,
-                                    timers=timers, stats=stats,
-                                    header=False):
-            # sized() runs ahead in the dispatch thread; pop(0) is the
-            # oldest un-committed batch = the one this sam belongs to
-            sw.write_batch(shard_i, sam, sizes.pop(0))
-            shard_i += 1
-            n_reads = stats.get("reads", 0)
-        if a.output_file and a.output_file != "-":
-            sw.finalize(a.output_file)
-        else:
-            sys.stdout.write(sw.finalize(None))
+        text = drive_sharded_stream(
+            reader, a.output_shards,
+            "\n".join(sam_header(index.contigs, cmdline)) + "\n",
+            lambda bs: dream_map_stream(index, bs, opts, cmdline=cmdline,
+                                        timers=timers, stats=stats,
+                                        header=False),
+            a.output_file)
+        if text is not None:
+            sys.stdout.write(text)
+        n_reads = stats.get("reads", 0)
     else:
         out = open_output(a.output_file)
 

@@ -90,29 +90,66 @@ class ShardedSamWriter:
 
     # --- finish -------------------------------------------------------------
 
-    def finalize(self, out_path: str | None = None) -> str | None:
-        """Concatenate header + shards. With out_path, stream to that file
-        (BGZF-compressed BAM when it ends with .bam, like the direct
-        writer) and return None; else return the full SAM text."""
-        parts = [(self.dir / "header.sam").read_text()]
+    def _iter_texts(self):
+        yield (self.dir / "header.sam").read_text()
         for s in self.manifest["shards"]:
-            parts.append(self._shard_path(s["i"]).read_text())
-        text = "".join(parts)
+            yield self._shard_path(s["i"]).read_text()
+
+    def finalize(self, out_path: str | None = None) -> str | None:
+        """Assemble header + shards. With out_path, STREAM shard-by-shard to
+        that file (BGZF-compressed BAM when it ends with .bam, like the
+        direct writer) — never materializing the whole output in memory —
+        and return None; else return the full SAM text."""
         if out_path is None:
-            return text
+            return "".join(self._iter_texts())
+        tmp = Path(str(out_path) + ".tmp")
         if str(out_path).endswith(".bam"):
             from .bam import BamWriter
 
-            tmp = Path(str(out_path) + ".tmp")
             w = BamWriter(open(tmp, "wb"))
-            w.write_sam(text)
+            it = self._iter_texts()
+            # the BAM header needs @SQ lines: feed header + first shard
+            # together, then stream the rest per shard
+            w.write_sam(next(it) + next(it, ""))
+            for text in it:
+                w.write_sam(text)
             w.close()
-            os.replace(tmp, out_path)
-            return None
-        tmp = Path(str(out_path) + ".tmp")
-        tmp.write_text(text)
+        else:
+            with open(tmp, "w") as f:
+                for text in self._iter_texts():
+                    f.write(text)
         os.replace(tmp, out_path)
         return None
+
+
+def drive_sharded_stream(reader, shard_dir, header_text, make_stream,
+                         out_path) -> str | None:
+    """Shared CLI driver for --output-shards (both the single-device and
+    mesh mapper branches): resume past committed shards, map the remaining
+    batches through `make_stream(batches) -> iter of header-free SAM texts`
+    (order-preserving; may pipeline internally), commit each as a shard,
+    then finalize into out_path. Returns the full SAM text when out_path is
+    '-'/empty (caller prints), else None."""
+    sw = ShardedSamWriter(shard_dir)
+    sw.write_header(header_text)
+    batches = skip_reads(reader, sw.reads_done)
+    sizes: list[int] = []
+
+    def sized():
+        for b in batches:
+            sizes.append(b.n_reads)
+            yield b
+
+    shard_i = sw.done_batches
+    for sam in make_stream(sized()):
+        # streams run ahead of consumption (dispatch-ahead); pop(0) is the
+        # oldest un-committed batch = the one this sam belongs to
+        sw.write_batch(shard_i, sam, sizes.pop(0))
+        shard_i += 1
+    if out_path and out_path != "-":
+        sw.finalize(out_path)
+        return None
+    return sw.finalize(None)
 
 
 def skip_reads(reader, n_skip: int):
@@ -124,7 +161,13 @@ def skip_reads(reader, n_skip: int):
     skipped = 0
     it = iter(reader)
     while skipped < n_skip:
-        b = next(it)
+        try:
+            b = next(it)
+        except StopIteration:
+            raise RuntimeError(
+                f"resume mismatch: manifest says {n_skip} reads are already "
+                f"committed but the input contains only {skipped}; this is "
+                f"not the original run's input file") from None
         skipped += b.n_reads
         if skipped > n_skip:
             raise RuntimeError(

@@ -129,8 +129,8 @@ class MeshDreamMapper:
         blob, half_loc = pack_batch_blob(batch.seqs[:n], batch.lengths,
                                          self.data_ax, L)
         r_cap = self._r_cap(half_loc)
-        uniform_len = (bool(np.all(batch.lengths == L))
-                       and (L * rate_ppm) // 10_000 == max_err)
+        from ..pipeline.map_step import uniform_len_ok
+        uniform_len = uniform_len_ok(batch.lengths, L, rate_ppm, max_err)
         step_key = (half_loc, L, r_cap, rate_ppm, max_err, max_slen,
                     uniform_len)
         step = self._step(*step_key)
@@ -163,14 +163,18 @@ class MeshDreamMapper:
             with timers.stage("mesh fetch (device wait)"):
                 out = MeshMapOut(*(np.asarray(x) for x in out_dev))
             routing = decode_routing(out.route_words, n, self.B)
-            diag["routed"] += int(routing.sum())
+            if drains == 0:          # drain passes re-route the SAME pairs:
+                diag["routed"] += int(routing.sum())   # count each pair once
             leftover = self._process_out(batch, out, routing, n, half_loc,
-                                         r_cap, n_pad, parts, timers, diag)
+                                         r_cap, n_pad, parts, timers, diag,
+                                         count_ovf=(drains == 0))
             if not leftover.any():
                 break
             if blob is None or step_key is None or drains >= self.MAX_DRAIN:
                 # exhausted drain budget: exact single-chip re-map of the rest
                 for b in np.flatnonzero(leftover[:n].any(axis=0)):
+                    if b >= index.n_bins:      # padding bins: no reads/index
+                        continue
                     ids = np.flatnonzero(leftover[:n, b])
                     with timers.stage("mesh overflow fallback (host)"):
                         self._fallback(batch, b, ids,
@@ -196,7 +200,7 @@ class MeshDreamMapper:
         return Matches.concat(parts)
 
     def _process_out(self, batch, out: MeshMapOut, routing, n, half_loc,
-                     r_cap, n_pad, parts, timers, diag):
+                     r_cap, n_pad, parts, timers, diag, count_ovf=True):
         """Decode one mesh pass (flat slot-pool layout, decode_flat_device);
         returns the (n_pad, B) leftover routing of pairs beyond each
         device's pool (drained through an override pass)."""
@@ -232,7 +236,8 @@ class MeshDreamMapper:
                 lr, lb_ = lo_pairs
                 if len(lr):
                     leftover[lr, j * B_loc + lb_] = True
-                    diag["route_ovf"] += len(lr)
+                    if count_ovf:    # unique pairs: first pass only
+                        diag["route_ovf"] += len(lr)
                 # surgical per-(read, bin) fallback for seed-hit overflow:
                 # the exhaustive single-chip re-map replaces the pair's pool
                 # matches (already dropped by the decoder), preserving

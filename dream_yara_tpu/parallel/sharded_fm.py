@@ -163,10 +163,11 @@ def build_sharded_map_step(mesh: Mesh, axis: str = "shard", *,
 class ShardedBinMapper:
     """BinMapper twin for ONE bin sharded over a mesh axis (SURVEY §5.7).
 
-    Produces the same Matches as pipeline.mapper.BinMapper for
-    sensitivity='high'/'full' workloads; overflowing seed hits are expanded
-    on host from the host-side FMIndex (full completeness), like the
-    single-device overflow pass."""
+    Bit-identical to pipeline.mapper.BinMapper for sensitivity='full'
+    (tests/test_sharded_fm.py). For 'high', capacity-overflowed seeds take
+    the FULL-style exhaustive host expansion here instead of BinMapper's
+    repetitive re-seed stratum, so this mapper can return a SUPERSET of
+    BinMapper's matches on hyper-repetitive reads (never fewer)."""
 
     def __init__(self, fm: FMIndex, text: np.ndarray, mesh: Mesh,
                  axis: str = "shard", opts=None):
@@ -202,8 +203,8 @@ class ShardedBinMapper:
         max_err = max(1, max_errors_for_batch(L, opts.error_rate))
         max_slen = max_seed_len_static(L, rate_ppm)
         R2 = 2 * n
-        uniform_len = (bool(np.all(batch.lengths == L))
-                       and (L * rate_ppm) // 10_000 == max_err)
+        from ..pipeline.map_step import uniform_len_ok
+        uniform_len = uniform_len_ok(batch.lengths, L, rate_ppm, max_err)
 
         step = self._step(rate_ppm=rate_ppm, max_errors=max_err,
                           capacity=capacity, max_slen=max_slen,

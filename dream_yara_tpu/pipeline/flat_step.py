@@ -68,7 +68,10 @@ def flat_map_step(fmset: DeviceFMSet, reads2: jnp.ndarray, lengths2: jnp.ndarray
     lengths2: (half_loc,) read lengths; slot arrays from slot_pool.
     """
     B, nb1 = fmset.fused.shape[0], fmset.fused.shape[1]
-    max_n = fmset.sa.shape[1]
+    # text geometry from the TEXT stack: fmset.sa is shorter than the text
+    # under a sampled SA (sample_rate > 1)
+    n_text = fmset.text.shape[1]
+    max_sa = fmset.sa.shape[1]
     T = read_slot.shape[0]
 
     sub_fwd = jnp.take(reads2, read_slot, axis=0)
@@ -86,14 +89,14 @@ def flat_map_step(fmset: DeviceFMSet, reads2: jnp.ndarray, lengths2: jnp.ndarray
     fused_flat = fmset.fused.reshape(B * nb1, -1)
     counts_flat = fmset.counts.reshape(-1)                      # (B*(SIGMA+1),)
     nsig = fmset.counts.shape[1]
-    pad8 = (-max_n) % 8
+    pad8 = (-max_sa) % 8
     sa_p = jnp.pad(fmset.sa, ((0, 0), (0, pad8)))
-    nrl = (max_n + pad8) // 8
+    nrl = (max_sa + pad8) // 8
     sa8_flat = sa_p.reshape(B * nrl, 8)
-    pad128 = (-max_n) % 128
+    pad128 = (-n_text) % 128
     tb_p = jnp.pad(fmset.text, ((0, 0), (0, pad128)),
                    constant_values=jnp.int8(7))   # BWT_PAD mismatches all
-    ntb = (max_n + pad128) // 128
+    ntb = (n_text + pad128) // 128
     tb_flat = tb_p.reshape(B * ntb, 128)
     pfx_flat = None
     if prefix_q > 0 and fmset.pfx_lo is not None:

@@ -173,6 +173,16 @@ def unbundle_out(bundle: np.ndarray, seed_lo, seed_hi, overflow, m_start,
                       n_spilled=bundle[5 * cv + 1])
 
 
+def uniform_len_ok(lengths, L: int, rate_ppm: int, max_errors: int) -> bool:
+    """Host-side eligibility for the gather-free seed-char fast path: every
+    read has length exactly L AND the static error budget equals L's own
+    (see _uniform_seed_chars). ALL callers must use this one predicate — a
+    drifted copy could enable the fast path on ineligible batches and break
+    the byte-equality contract."""
+    return (bool(np.all(np.asarray(lengths) == L))
+            and (L * rate_ppm) // 10_000 == max_errors)
+
+
 def _uniform_seed_chars(reads, L, rate_ppm, max_errors, t_stop, msl_eff):
     """Gather-free seed-char matrix for UNIFORM-length batches.
 

@@ -90,10 +90,9 @@ class BinMapper:
                                unbundle_out)
 
         prefix_q = self.prefix_q if self.dev.pfx_lo is not None else 0
-        # gather-free seed-char fast path: every read has length L and the
-        # static error budget matches L's own (see _uniform_seed_chars)
-        uniform_len = (bool(np.all(batch.lengths == L))
-                       and (L * rate_ppm) // 10_000 == max_err)
+        # gather-free seed-char fast path (see map_step.uniform_len_ok)
+        from .map_step import uniform_len_ok
+        uniform_len = uniform_len_ok(batch.lengths, L, rate_ppm, max_err)
         step_kw = dict(rate_ppm=rate_ppm, max_errors=max_err,
                        capacity=capacity, max_slen=max_slen,
                        prefix_q=prefix_q, use_pallas=self.use_pallas,

@@ -186,6 +186,22 @@ def test_mesh_seed_overflow_fallback():
         assert sam == ref, f"sensitivity={sens}"
 
 
+def test_mesh_sampled_sa_identical():
+    """sample_rate > 1 bins through the flat mesh step (fused-row LF-walk
+    locate) must match the single-device pipeline byte-for-byte."""
+    rng = np.random.default_rng(13)
+    B = 4
+    genomes = [random_text(rng, 4000) for _ in range(B)]
+    stores = [SeqStore.from_seqs([f"g{b}"], [genomes[b]]) for b in range(B)]
+    fms = [FMIndex.build(st.text, sample_rate=4) for st in stores]
+    index = DreamIndex(stores, fms, None, "none")
+    batch, _ = _planted(rng, genomes, n_per_bin=4)
+    opts = MapperOptions(error_rate=0.03)
+    ref = dream_map_sam(index, batch, opts)
+    mapper = MeshDreamMapper(index, opts, n_devices=8)
+    assert mesh_dream_sam(mapper, batch) == ref
+
+
 def test_mesh_pe_identical(db_and_reads):
     """PE mode (pairing + rescue) through the mesh matches single-device."""
     genomes, index, batch_se, truth = db_and_reads

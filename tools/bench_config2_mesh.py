@@ -39,7 +39,10 @@ def main():
     from dream_yara_tpu.utils.timer import StageTimers
 
     n_pairs = int(sys.argv[1]) if len(sys.argv) > 1 else 250_000
-    r_cap = int(sys.argv[2]) if len(sys.argv) > 2 else 40_960
+    # default: the mapper's own shared slot-pool sizing (flat_step); an
+    # explicit 2nd arg overrides (the old 40_960 per-bin figure would force
+    # drain passes under the pool layout)
+    r_cap = int(sys.argv[2]) if len(sys.argv) > 2 else None
     batch_pairs = min(125_000, n_pairs)
     genomes, index = build_or_load()
     opts = MapperOptions(error_rate=0.03, library_length=LL,
