@@ -57,6 +57,11 @@ class FMIndex:
               sa: np.ndarray | None = None) -> "FMIndex":
         text = np.asarray(text, dtype=np.int8)
         n = len(text)
+        if n >= (1 << 31):
+            raise ValueError(
+                f"bin of {n} bp exceeds the int32 index ceiling (2^31-1 "
+                f"~ 2.1 Gbp per bin): split it into smaller bins — the "
+                f"DREAM design point — e.g. per chromosome for GRCh38")
         if sa is None:
             sa = build_suffix_array(text)
         sa = np.asarray(sa, dtype=np.int32)

@@ -123,6 +123,8 @@ class BinMapper:
 
     def _drain_pending(self, pending, batch, n, half, chunk_rows, L,
                        max_err, rate_ppm, step_kw) -> Matches:
+        from concurrent.futures import ThreadPoolExecutor
+
         from .map_step import single_bin_map_step_packed, unbundle_out
 
         def full_reads(ids):
@@ -131,17 +133,19 @@ class BinMapper:
             reads_c[half : half + len(ids)] = batch.seqs[n + ids]
             return reads_c
 
-        import jax
+        # ONE fetch per chunk for all per-candidate outputs + scalars; the
+        # (S,) seed-interval arrays stay on device unless overflow occurred.
+        # Fetches run on a worker thread so chunk i+1's device-wait + d2h
+        # (fixed ~40ms + ~34ms/MB through the tunnel) overlaps chunk i's
+        # host post-processing below.
+        fetch_pool = ThreadPoolExecutor(max_workers=1)
+        futs = [fetch_pool.submit(np.asarray, p[0][0]) for p in pending]
 
         parts: list[Matches] = []
-        for out, ids, dev_in, lens_c in pending:
-            bundle, s_lo, s_hi, ovf, m_st = out
-            with self.timers.stage("device wait"):
-                jax.block_until_ready(bundle)
-            with self.timers.stage("fetch d2h"):
-                # ONE fetch for all per-candidate outputs + scalars; the (S,)
-                # seed-interval arrays stay on device unless overflow occurred
-                bundle = np.asarray(bundle)
+        for (out, ids, dev_in, lens_c), fut in zip(pending, futs):
+            _bundle_dev, s_lo, s_hi, ovf, m_st = out
+            with self.timers.stage("device wait+fetch"):
+                bundle = fut.result()
             with self.timers.stage("collect matches (host)"):
                 out = unbundle_out(bundle, s_lo, s_hi, ovf, m_st,
                                    L, max_err, chunk_rows)
@@ -180,6 +184,7 @@ class BinMapper:
                         parts.append(self._repetitive_pass(
                             out, reads_c, lens_c, ids, half, n, max_err, rate_ppm))
 
+        fetch_pool.shutdown(wait=False)
         # NOTE: dedup happens in map_single_bin AFTER the cross-contig filter,
         # so a dropped boundary-crossing match can never shadow a real one.
         return Matches.concat(parts)
