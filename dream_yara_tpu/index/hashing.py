@@ -48,6 +48,33 @@ def kmer_windows(codes: np.ndarray, k: int):
     return lo.astype(np.uint32), hi.astype(np.uint32), valid
 
 
+def canonical_windows(codes: np.ndarray, k: int):
+    """Strand-CANONICAL packed windows: elementwise min(fwd, revcomp) by
+    (hi, lo) lexicographic order. A window and its reverse complement share
+    one canonical value, so a filter built canonically answers BOTH read
+    orientations from the forward read's windows alone — the classify side
+    then hashes HALF the rows and skips the orientation OR
+    (ops/ibf_query.py; the reference inserts forward k-mers and queries
+    both orientations [U] — same answers, half the row gathers)."""
+    lo_f, hi_f, valid = kmer_windows(codes, k)
+    codes = np.asarray(codes, dtype=np.int64)
+    m = len(codes) - k + 1
+    if m <= 0:
+        return lo_f, hi_f, valid
+    comp = 3 - (codes & 3)
+    lo_r = np.zeros(m, dtype=np.int64)
+    hi_r = np.zeros(m, dtype=np.int64)
+    # rc window base t = complement of fwd base (k-1-t) within the window
+    for t in range(min(k, 16)):
+        lo_r |= comp[k - 1 - t : k - 1 - t + m] << (2 * t)
+    for t in range(16, k):
+        hi_r |= comp[k - 1 - t : k - 1 - t + m] << (2 * (t - 16))
+    lo_r = lo_r.astype(np.uint32)
+    hi_r = hi_r.astype(np.uint32)
+    swap = (hi_r < hi_f) | ((hi_r == hi_f) & (lo_r < lo_f))
+    return (np.where(swap, lo_r, lo_f), np.where(swap, hi_r, hi_f), valid)
+
+
 def fmix32(h: np.ndarray) -> np.ndarray:
     """murmur3 32-bit finalizer — full-avalanche bijection on uint32.
 

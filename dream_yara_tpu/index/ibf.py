@@ -39,6 +39,12 @@ class InterleavedBloomFilter:
                        # k-mers). Reference build_filter's optional minimizer
                        # mode [U,M]: both build AND query select minimizers
                        # with the same rule, so membership tests line up.
+    canonical: int = 0 # 1 = strand-canonical k-mers (min(fwd, revcomp)):
+                       # one inserted value covers both orientations, so the
+                       # classifier hashes only forward read rows — half the
+                       # row gathers of the classic forward-insert layout
+                       # (hashing.canonical_windows). The default for new
+                       # filters; 0 keeps compatibility with old artifacts.
 
     def __post_init__(self):
         if self.window < self.k:
@@ -50,19 +56,19 @@ class InterleavedBloomFilter:
 
     @classmethod
     def create(cls, bins: int, size_bits: int, n_hashes: int = 3, k: int = 19,
-               window: int = 0):
+               window: int = 0, canonical: bool = True):
         bins_padded = ((bins + 63) // 64) * 64
         n_rows = max(1, size_bits // bins_padded)
         words = np.zeros((n_rows, bins_padded // 32), dtype=np.uint32)
         return cls(bins=bins, n_rows=n_rows, n_hashes=n_hashes, k=k,
-                   words=words, window=window)
+                   words=words, window=window, canonical=int(canonical))
 
     # --- build / update (host, offline path) ---
 
     def add_kmers(self, codes: np.ndarray, bin_id: int):
         """Insert the selected k-mers of one sequence into bin_id's column
         (all valid k-mers, or only window minimizers when window > k)."""
-        lo, hi, valid = kmer_windows(codes, self.k)
+        lo, hi, valid = self._windows(codes)
         if self.window > self.k:
             from .hashing import minimizer_select
 
@@ -88,9 +94,16 @@ class InterleavedBloomFilter:
 
     # --- query (host oracle; device version in ops/ibf_query.py) ---
 
+    def _windows(self, codes):
+        if self.canonical:
+            from .hashing import canonical_windows
+
+            return canonical_windows(codes, self.k)
+        return kmer_windows(codes, self.k)
+
     def bin_counts(self, codes: np.ndarray) -> np.ndarray:
         """Per-bin count of (selected) k-mers of `codes` present in each bin."""
-        lo, hi, valid = kmer_windows(codes, self.k)
+        lo, hi, valid = self._windows(codes)
         if self.window > self.k:
             from .hashing import minimizer_select
 
@@ -119,7 +132,7 @@ class InterleavedBloomFilter:
 
     def n_minimizers(self, codes: np.ndarray) -> int:
         """Selected k-mer count of one sequence (for minimizer thresholds)."""
-        lo, hi, valid = kmer_windows(codes, self.k)
+        lo, hi, valid = self._windows(codes)
         if self.window > self.k:
             from .hashing import minimizer_select
 
@@ -152,7 +165,7 @@ class InterleavedBloomFilter:
     def save(self, path):
         np.savez(path, bins=self.bins, n_rows=self.n_rows,
                  n_hashes=self.n_hashes, k=self.k, words=self.words,
-                 window=self.window)
+                 window=self.window, canonical=self.canonical)
 
     @classmethod
     def load(cls, path) -> "InterleavedBloomFilter":
@@ -162,4 +175,6 @@ class InterleavedBloomFilter:
         z = np.load(path)
         return cls(bins=int(z["bins"]), n_rows=int(z["n_rows"]),
                    n_hashes=int(z["n_hashes"]), k=int(z["k"]), words=z["words"],
-                   window=int(z["window"]) if "window" in z.files else 0)
+                   window=int(z["window"]) if "window" in z.files else 0,
+                   canonical=(int(z["canonical"])
+                              if "canonical" in z.files else 0))

@@ -34,11 +34,15 @@ def _fmix32(h):
     return h
 
 
-def kmer_windows_dev(reads: jnp.ndarray, lengths: jnp.ndarray, k: int):
+def kmer_windows_dev(reads: jnp.ndarray, lengths: jnp.ndarray, k: int,
+                     canonical: bool = False):
     """Packed k-mer windows of each read row. reads: (R, L) int8.
 
     Returns (lo, hi, valid): (R, L-k+1) each; valid masks windows containing
-    N/pad or beyond the read length.
+    N/pad or beyond the read length. `canonical=True` returns the
+    strand-canonical min(fwd, revcomp) packing (index/hashing.py
+    canonical_windows, bit-identical) — the filter-build convention that
+    lets classify hash only forward rows.
     """
     R, L = reads.shape
     m = L - k + 1
@@ -49,6 +53,18 @@ def kmer_windows_dev(reads: jnp.ndarray, lengths: jnp.ndarray, k: int):
         lo = lo | ((codes[:, t : m + t] & 3) << (2 * t))
     for t in range(16, k):
         hi = hi | ((codes[:, t : m + t] & 3) << (2 * (t - 16)))
+    if canonical:
+        comp = jnp.uint32(3) - (codes & 3)
+        lo_r = jnp.zeros((R, m), dtype=jnp.uint32)
+        hi_r = jnp.zeros((R, m), dtype=jnp.uint32)
+        for t in range(min(k, 16)):
+            lo_r = lo_r | (comp[:, k - 1 - t : k - 1 - t + m] << (2 * t))
+        for t in range(16, k):
+            hi_r = hi_r | (comp[:, k - 1 - t : k - 1 - t + m]
+                           << (2 * (t - 16)))
+        swap = (hi_r < hi) | ((hi_r == hi) & (lo_r < lo))
+        lo = jnp.where(swap, lo_r, lo)
+        hi = jnp.where(swap, hi_r, hi)
     bad = (reads >= 4).astype(jnp.int32)
     cbad = jnp.cumsum(bad, axis=1)
     cbad = jnp.concatenate([jnp.zeros((R, 1), jnp.int32), cbad], axis=1)
@@ -130,7 +146,8 @@ def _count_rows(filter_words, rows_by_hash, lanes_valid):
 
 def ibf_bin_counts(filter_words: jnp.ndarray, reads: jnp.ndarray,
                    lengths: jnp.ndarray, k: int, n_hashes: int,
-                   window: int = 0) -> tuple[jnp.ndarray, jnp.ndarray]:
+                   window: int = 0,
+                   canonical: bool = False) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Per-bin (selected-)k-mer hit counts for each read row.
 
     filter_words: (n_rows, Wd) uint32; reads: (R, L) int8. Returns
@@ -139,7 +156,8 @@ def ibf_bin_counts(filter_words: jnp.ndarray, reads: jnp.ndarray,
     """
     n_rows = filter_words.shape[0]
     R = reads.shape[0]
-    lo, hi, valid = kmer_windows_dev(reads, lengths, k)        # (R, m)
+    lo, hi, valid = kmer_windows_dev(reads, lengths, k,
+                                     canonical=canonical)      # (R, m)
     mix = lo ^ (hi * jnp.uint32(MIX_MULT))
     if window > k:
         valid = minimizer_select_dev(mix, valid, lengths, window, k)
@@ -192,10 +210,10 @@ def ibf_candidates(filter_words, reads, lengths, k, n_hashes, thresholds,
 
 @functools.partial(jax.jit,
                    static_argnames=("half", "L", "k", "n_hashes", "rate_ppm",
-                                    "window"))
+                                    "window", "canonical"))
 def ibf_classify_packed(filter_words, blob, *, half: int, L: int,
                         k: int, n_hashes: int, rate_ppm: int,
-                        window: int = 0):
+                        window: int = 0, canonical: bool = False):
     """Whole-batch classification from packed uploads: unpack fwd+rc rows on
     device, count (selected) k-mers per bin, threshold, OR the two
     orientations, and bit-pack the (reads, bins) candidate mask so the
@@ -205,12 +223,19 @@ def ibf_classify_packed(filter_words, blob, *, half: int, L: int,
 
     packed, nmask, lengths = unpack_blob(blob, half, L)
     reads = unpack_reads(packed, nmask, lengths, L)          # (R2, L)
-    lengths2 = jnp.concatenate([lengths, lengths])
-    counts, n_sel = ibf_bin_counts(filter_words, reads, lengths2, k,
-                                   n_hashes, window)
-    thr = classify_thresholds(lengths2, n_sel, k, window, rate_ppm)
-    mask = counts >= thr[:, None]
-    cand = mask[:half] | mask[half:]                          # (half, Bp)
+    if canonical:
+        # canonical values cover both orientations: hash forward rows only
+        counts, n_sel = ibf_bin_counts(filter_words, reads[:half], lengths,
+                                       k, n_hashes, window, canonical=True)
+        thr = classify_thresholds(lengths, n_sel, k, window, rate_ppm)
+        cand = counts >= thr[:, None]                         # (half, Bp)
+    else:
+        lengths2 = jnp.concatenate([lengths, lengths])
+        counts, n_sel = ibf_bin_counts(filter_words, reads, lengths2, k,
+                                       n_hashes, window)
+        thr = classify_thresholds(lengths2, n_sel, k, window, rate_ppm)
+        mask = counts >= thr[:, None]
+        cand = mask[:half] | mask[half:]                      # (half, Bp)
     w = cand.shape[1] // 32
     bits = cand.reshape(half, w, 32).astype(jnp.uint32)
     words = (bits << jnp.arange(32, dtype=jnp.uint32)[None, None, :]).sum(

@@ -89,7 +89,8 @@ def build_mesh_dream_step(mesh: Mesh, *, half_loc: int, L: int, B: int,
                           sample_rate: int, use_pallas: bool,
                           k: int = 0, n_hashes: int = 0, window: int = 0,
                           use_filter: bool = True, uniform_len: bool = False,
-                          route_override: bool = False):
+                          route_override: bool = False,
+                          canonical: bool = False):
     """Jitted sharded step: (fmset, filter_words, blob[, route_words])
     -> MeshMapOut.
 
@@ -131,6 +132,14 @@ def build_mesh_dream_step(mesh: Mesh, *, half_loc: int, L: int, B: int,
                      >> jnp.arange(32, dtype=jnp.uint32)[None, None, :]) & 1)
             cand = bits.reshape(half_loc, Wb_in * 32)[:, :B].astype(bool)
             cand = cand & (lengths > 0)[:, None]
+        elif use_filter and canonical:
+            # canonical filters cover both orientations from forward rows:
+            # half the hash-row gathers, no orientation OR
+            counts, n_sel = ibf_bin_counts(filter_words, reads[:half_loc],
+                                           lengths, k, n_hashes, window,
+                                           canonical=True)
+            thr = classify_thresholds(lengths, n_sel, k, window, rate_ppm)
+            cand = (counts >= thr[:, None])[:, :B]
         elif use_filter:
             counts, n_sel = ibf_bin_counts(filter_words, reads, lengths2, k,
                                            n_hashes, window)

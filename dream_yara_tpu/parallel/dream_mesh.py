@@ -57,16 +57,22 @@ class MeshDreamMapper:
         self.use_filter = (index.filter_type != "none"
                            and index.filter is not None)
         if self.use_filter:
+            # drop all-padding words: every hash-row gather pays per word,
+            # and a B<=32-bin database only ever consults word 0
+            wd_need = max(1, (self.B + 31) // 32)
+            words = np.asarray(index.filter.words)[:, :wd_need]
             self.filter_words = jax.device_put(
-                jnp.asarray(index.filter.words),
+                jnp.asarray(words),
                 jax.sharding.NamedSharding(self.mesh,
                                            jax.sharding.PartitionSpec()))
             self.k = index.filter.k
             self.n_hashes = index.filter.n_hashes
             self.window = getattr(index.filter, "window", 0)
+            self.canonical = bool(getattr(index.filter, "canonical", 0))
         else:
             self.filter_words = jnp.zeros((1, 2), dtype=jnp.uint32)
             self.k = self.n_hashes = self.window = 0
+            self.canonical = False
         self._steps: dict = {}
 
     POOL_MAX = 1 << 19   # meta row field bound (dist_mapper.META_ROW_BITS)
@@ -106,7 +112,7 @@ class MeshDreamMapper:
                 sample_rate=self.sample_rate, use_pallas=self.use_pallas,
                 k=self.k, n_hashes=self.n_hashes, window=self.window,
                 use_filter=self.use_filter, uniform_len=uniform_len,
-                route_override=route_override)
+                route_override=route_override, canonical=self.canonical)
         return self._steps[key]
 
     def map_batch(self, batch: ReadBatch,

@@ -188,16 +188,20 @@ class MultiHostDreamMapper:
             self.filter_type = "kmer_direct"
         if self.filter is not None:
             sh = NamedSharding(self.mesh, P())
-            w = np.asarray(self.filter.words)
+            # drop all-padding words (see dream_mesh: gathers pay per word)
+            wd_need = max(1, (self.B + 31) // 32)
+            w = np.asarray(self.filter.words)[:, :wd_need]
             self.filter_words = jax.make_array_from_process_local_data(
                 sh, w, w.shape)
             self.k, self.n_hashes = self.filter.k, self.filter.n_hashes
             self.window = getattr(self.filter, "window", 0)
+            self.canonical = bool(getattr(self.filter, "canonical", 0))
         else:
             sh = NamedSharding(self.mesh, P())
             self.filter_words = jax.make_array_from_process_local_data(
                 sh, np.zeros((1, 2), np.uint32), (1, 2))
             self.k = self.n_hashes = self.window = 0
+            self.canonical = False
         self._steps: dict = {}
         self._bin_mappers: dict = {}
 
@@ -223,8 +227,10 @@ class MultiHostDreamMapper:
                 self.mesh, half_loc=half_loc, L=L, B=self.B, r_cap=r_cap,
                 rate_ppm=rate_ppm, max_errors=max_err, capacity=8,
                 max_slen=max_slen, prefix_q=self.prefix_q, sample_rate=1,
-                use_pallas=self.use_pallas, k=self.k, n_hashes=self.n_hashes, window=self.window,
-                use_filter=self.filter is not None)
+                use_pallas=self.use_pallas, k=self.k,
+                n_hashes=self.n_hashes, window=self.window,
+                use_filter=self.filter is not None,
+                canonical=self.canonical)
         return self._steps[key]
 
     def _bin_mapper(self, b: int):

@@ -107,7 +107,11 @@ def classify_reads(index: DreamIndex, batch: ReadBatch, opts: MapperOptions,
         return np.ones((n, B), dtype=bool)
     filt = index.filter
     rate_ppm = rate_to_ppm(opts.error_rate)
-    words = jnp.asarray(filt.words)
+    # drop all-padding filter words (gathers pay per word; B<=32 bins only
+    # ever consult word 0) and use canonical mode when the filter has it
+    wd_need = max(1, (B + 31) // 32)
+    words = jnp.asarray(np.asarray(filt.words)[:, :wd_need])
+    canonical = bool(getattr(filt, "canonical", 0))
     L = batch.max_len
     from ..ops.ibf_query import ibf_classify_packed
     from ..ops.readpack import pack_blob_with_lengths
@@ -122,7 +126,7 @@ def classify_reads(index: DreamIndex, batch: ReadBatch, opts: MapperOptions,
         cw = np.asarray(ibf_classify_packed(
             words, jnp.asarray(blob), half=IBF_READS,
             L=L, k=filt.k, n_hashes=filt.n_hashes, rate_ppm=rate_ppm,
-            window=getattr(filt, "window", 0)))
+            window=getattr(filt, "window", 0), canonical=canonical))
         bits = ((cw[:, :, None] >> shifts) & 1).astype(bool)
         mask[ids] = bits.reshape(IBF_READS, -1)[: len(ids), :B]
     return mask

@@ -107,7 +107,8 @@ def test_dynamic_update(dream_db):
     ibf2 = InterleavedBloomFilter(
         bins=index.filter.bins, n_rows=index.filter.n_rows,
         n_hashes=index.filter.n_hashes, k=index.filter.k,
-        words=index.filter.words.copy())
+        words=index.filter.words.copy(),
+        canonical=index.filter.canonical)  # hash mode must travel with words
     ibf2.clear_bins([2])
     ibf2.add_kmers(new_g, 2)
     stores2 = list(index.stores); stores2[2] = new_store

@@ -164,7 +164,8 @@ def test_minimizer_device_matches_host(rng):
     reads[4, :50] = random_text(rng, 50, n_rate=0.05)  # short + Ns
     lens[4] = 50
     got, n_sel = ibf_bin_counts(jnp.asarray(ibf.words), jnp.asarray(reads),
-                                jnp.asarray(lens), k, ibf.n_hashes, window=w)
+                                jnp.asarray(lens), k, ibf.n_hashes, window=w,
+                                canonical=bool(ibf.canonical))
     got, n_sel = np.asarray(got), np.asarray(n_sel)
     for i in range(5):
         want = ibf.bin_counts(reads[i, : lens[i]])
@@ -182,3 +183,38 @@ def test_minimizer_filter_save_load_roundtrip(rng, tmp_path):
     back = InterleavedBloomFilter.load(tmp_path / "f")
     assert back.window == 21 and back.k == 15
     assert np.array_equal(back.words, ibf.words)
+
+
+def test_canonical_filter_strand_symmetric(rng):
+    """Canonical filters answer BOTH read orientations from forward windows:
+    bin_counts(read) == bin_counts(revcomp(read)), and the no-false-negative
+    routing property holds for rc reads with the plain k-mer lemma."""
+    import jax.numpy as jnp
+
+    from dream_yara_tpu.index.hashing import canonical_windows, kmer_windows
+    from dream_yara_tpu.ops.ibf_query import kmer_windows_dev
+    from dream_yara_tpu.utils.alphabet import revcomp
+
+    B, k = 3, 19
+    genomes = [random_text(rng, 4000) for _ in range(B)]
+    ibf = InterleavedBloomFilter.create(B, size_bits=1 << 22, n_hashes=3, k=k)
+    assert ibf.canonical == 1
+    for b, g in enumerate(genomes):
+        ibf.add_kmers(g, b)
+    for b in range(B):
+        read = genomes[b][200:300].copy()
+        thr = ibf.threshold(100, k, errors=0)
+        assert b in ibf.which_bins(read, thr)
+        assert b in ibf.which_bins(revcomp(read), thr)
+        assert np.array_equal(ibf.bin_counts(read),
+                              ibf.bin_counts(revcomp(read)))
+    # canonical value really is strand-invariant + device matches host
+    seq = random_text(rng, 60)
+    lo_f, hi_f, _ = canonical_windows(seq, k)
+    lo_r, hi_r, _ = canonical_windows(revcomp(seq), k)
+    assert np.array_equal(lo_f, lo_r[::-1]) and np.array_equal(hi_f, hi_r[::-1])
+    dlo, dhi, _ = kmer_windows_dev(jnp.asarray(seq[None, :]),
+                                   jnp.asarray([60], jnp.int32), k,
+                                   canonical=True)
+    assert np.array_equal(np.asarray(dlo)[0], lo_f)
+    assert np.array_equal(np.asarray(dhi)[0], hi_f)

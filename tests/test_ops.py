@@ -177,7 +177,8 @@ def test_ibf_device_matches_host(rng):
     lens.append(60)
     got, n_sel = ibf_bin_counts(
         jnp.asarray(ibf.words), jnp.asarray(reads),
-        jnp.asarray(lens, dtype=jnp.int32), ibf.k, ibf.n_hashes)
+        jnp.asarray(lens, dtype=jnp.int32), ibf.k, ibf.n_hashes,
+        canonical=bool(ibf.canonical))
     got = np.asarray(got)
     for i in range(6):
         want = ibf.bin_counts(reads[i, : lens[i]])
