@@ -21,12 +21,16 @@ def _load():
     if path is None:
         return None
     lib = ctypes.CDLL(str(path))
-    lib.dy_sais_u8.argtypes = [
+    sig = [
         ctypes.POINTER(ctypes.c_uint8),
         ctypes.POINTER(ctypes.c_int32),
         ctypes.c_int32,
     ]
+    lib.dy_sais_u8.argtypes = sig
     lib.dy_sais_u8.restype = ctypes.c_int32
+    if hasattr(lib, "dy_sais_u8_into"):
+        lib.dy_sais_u8_into.argtypes = sig
+        lib.dy_sais_u8_into.restype = ctypes.c_int32
     _lib = lib
     return _lib
 
@@ -42,10 +46,23 @@ def suffix_array(text: np.ndarray) -> np.ndarray:
         raise RuntimeError("native SA-IS library unavailable")
     t = np.ascontiguousarray(text, dtype=np.uint8)
     n = len(t)
-    sa = np.empty(n, dtype=np.int32)
-    if n:
-        lib.dy_sais_u8(
+    if n == 0:
+        return np.empty(0, dtype=np.int32)
+    if hasattr(lib, "dy_sais_u8_into"):
+        # low-memory path: the engine writes into our n+1 buffer directly
+        # (row 0 = virtual sentinel) — no internal int32 text/SA copies;
+        # peak working set ~6 bytes/char (see sais.cpp header comment)
+        sa1 = np.empty(n + 1, dtype=np.int32)
+        rc = lib.dy_sais_u8_into(
             t.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-            sa.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            sa1.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
             ctypes.c_int32(n))
+        if rc == 0:
+            return sa1[1:]
+        # rc != 0: a byte value 255 exists — fall through to the general path
+    sa = np.empty(n, dtype=np.int32)
+    lib.dy_sais_u8(
+        t.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        sa.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.c_int32(n))
     return sa

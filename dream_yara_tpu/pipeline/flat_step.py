@@ -60,7 +60,8 @@ def flat_map_step(fmset: DeviceFMSet, reads2: jnp.ndarray, lengths2: jnp.ndarray
                   half_loc: int, rate_ppm: int, max_errors: int,
                   capacity: int, max_slen: int, prefix_q: int,
                   compact_cap: int | None, uniform_len: bool,
-                  sample_rate: int = 1) -> MapStepOut:
+                  sample_rate: int = 1,
+                  stop_after: str | None = None) -> MapStepOut:
     """Map every slot against its own bin in one fused program.
 
     fmset: stacked per-bin tables (this device's LOCAL bins, axis 0);
@@ -119,15 +120,20 @@ def flat_map_step(fmset: DeviceFMSet, reads2: jnp.ndarray, lengths2: jnp.ndarray
                       max_errors, capacity, max_slen, compact_cap, prefix_q,
                       uniform_len, hooks, n_seed, counts_fetch, tb_flat, ntb,
                       sample_rate, bin_seed, fused_flat, counts_flat, nb1,
-                      nsig)
+                      nsig, stop_after)
 
 
 def _flat_core(fmset, reads, lengths, bin_slot, rate_ppm, max_errors,
                capacity, max_slen, compact_cap, prefix_q, uniform_len,
                hooks, n_seed, counts_fetch, tb_flat, ntb,
                sample_rate, bin_seed, fused_flat, counts_flat, nb1,
-               nsig) -> MapStepOut:
-    """Mirror of map_step._map_step_core with per-seed bins (full SA only)."""
+               nsig, stop_after=None) -> MapStepOut:
+    """Mirror of map_step._map_step_core with per-seed bins (full SA only).
+
+    stop_after: profiling-only early return ('search' | 'locate' | 'compact')
+    — returns the partial arrays instead of MapStepOut so tools/
+    profile_flat_step.py can attribute stage costs by difference. The
+    product paths never set it."""
     from ..ops.backward_search import gather_hits, seed_search
     from ..ops.verify import banded_verify
     from .map_step import (_uniform_seed_chars, global_compact,
@@ -149,6 +155,8 @@ def _flat_core(fmset, reads, lengths, bin_slot, rate_ppm, max_errors,
         rank_row_fetch=hooks.rank_rows, pfx_fetch=hooks.pfx,
         counts_fetch=counts_fetch)
     starts = m_start
+    if stop_after == "search":
+        return lo, hi, m_start
     if sample_rate > 1:
         # sampled SA: fetch SA row ids, then walk LF to marked rows via the
         # fused-row hook locate (ops/locate.locate_sampled_fused)
@@ -183,12 +191,16 @@ def _flat_core(fmset, reads, lengths, bin_slot, rate_ppm, max_errors,
                                            n_sa_rows=hooks.n_sa_rows)
 
     ns = max_errors + 1
+    if stop_after == "locate":
+        return pos, hmask
     A = (pos - starts[:, None]).reshape(R2, ns * capacity)
     V = hmask.reshape(R2, ns * capacity)
     row_ids = jnp.arange(R2, dtype=jnp.int32)
     keep2 = pairwise_dedup(A, V)
     vrow, vanch, keep, n_spilled = global_compact(A, keep2, row_ids,
                                                   compact_cap)
+    if stop_after == "compact":
+        return vrow, vanch, keep
 
     # verify: per-lane bin offsets for the text-block fetch + bounds
     bin_lane = jnp.take(jnp.tile(bin_slot, 2), vrow)

@@ -27,6 +27,21 @@ def test_sais_with_sentinels_and_repeats(rng):
     assert np.array_equal(sais.suffix_array(per), sa_numpy(per))
 
 
+def test_sais_byte255_fallback(rng):
+    """Texts containing byte 255 can't use the +1-shifted uint8 fast path
+    (dy_sais_u8_into returns -1); the binding must fall back to the general
+    int32 engine and still be correct."""
+    text = rng.integers(0, 256, 4000).astype(np.uint8)
+    text[::17] = 255
+    assert np.array_equal(sais.suffix_array(text), sa_numpy(text))
+
+
+def test_sais_arbitrary_bytes(rng):
+    """Full byte alphabet (no 255): exercises K=maxc+2 bucket sizing."""
+    text = rng.integers(0, 255, 6000).astype(np.uint8)
+    assert np.array_equal(sais.suffix_array(text), sa_numpy(text))
+
+
 def test_build_dispatches_to_native(rng):
     from dream_yara_tpu.index.suffix_array import build_suffix_array
     text = random_text(rng, 1000)

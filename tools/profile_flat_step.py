@@ -111,12 +111,23 @@ def main():
             ts.append(time.time() - t0)
         print(f"[pfs] {name}: {sorted(ts)[1]*1e3:8.1f} ms", file=sys.stderr)
 
+    def stage_stop(which):
+        def fn(fmset_, fw_, blob_):
+            reads, lengths, rs, bs, valid = stage_pool(fmset_, fw_, blob_)
+            return flat_map_step(fmset_, reads, lengths, rs, bs, valid,
+                                 half_loc=half, rate_ppm=rate_ppm,
+                                 max_errors=max_err, capacity=8,
+                                 max_slen=max_slen, prefix_q=prefix_q,
+                                 compact_cap=2 * t_cap, uniform_len=uniform,
+                                 stop_after=which)
+        return fn
+
     timed(stage_classify, "classify          ")
     timed(stage_pool, "classify+pool     ")
-
-    # full step with sub-ablations via env-like flags is overkill; time the
-    # search/hits/dedup/verify tail as one unit and attribute by difference
-    timed(stage_full, "FULL flat step    ")
+    timed(stage_stop("search"), "+seed search      ")
+    timed(stage_stop("locate"), "+SA locate        ")
+    timed(stage_stop("compact"), "+dedup+compact    ")
+    timed(stage_full, "FULL (=+verify)   ")
 
 
 if __name__ == "__main__":
