@@ -66,15 +66,27 @@ class FMIndex:
             sa = build_suffix_array(text)
         sa = np.asarray(sa, dtype=np.int32)
 
-        bwt = np.where(sa > 0, text[sa - 1], text[n - 1]).astype(np.int8)
-
+        # chunked BWT + occ build: the obvious one-liners materialize
+        # O(n)-scale temporaries (sa-1 int32, a (n_blocks, 128, SIGMA)
+        # one-hot) that dominate peak RSS at Gbp scale — chunking bounds
+        # the transient working set to ~0.5 GB regardless of n
         n_blocks = (n + BLOCK - 1) // BLOCK
         padded = np.full(n_blocks * BLOCK, BWT_PAD, dtype=np.int8)
-        padded[:n] = bwt
+        CH = 1 << 26
+        for c0 in range(0, n, CH):
+            sc = sa[c0 : c0 + CH]
+            padded[c0 : c0 + len(sc)] = np.where(sc > 0, text[sc - 1],
+                                                 text[n - 1])
         bwt_blocks = padded.reshape(n_blocks, BLOCK)
 
         # occ[b, c] = count of c in bwt[0 : b*BLOCK]
-        per_block = (bwt_blocks[:, :, None] == np.arange(SIGMA, dtype=np.int8)).sum(axis=1)
+        codes = np.arange(SIGMA, dtype=np.int8)
+        per_block = np.empty((n_blocks, SIGMA), dtype=np.int32)
+        BCH = 1 << 19
+        for b0 in range(0, n_blocks, BCH):
+            blk = bwt_blocks[b0 : b0 + BCH]
+            per_block[b0 : b0 + len(blk)] = (blk[:, :, None] == codes).sum(
+                axis=1, dtype=np.int32)
         occ = np.zeros((n_blocks + 1, SIGMA), dtype=np.int32)
         np.cumsum(per_block, axis=0, out=occ[1:])
 
@@ -105,27 +117,35 @@ class FMIndex:
         if q is None:
             q = max(2, min(11, int(np.log(max(n, 16)) / np.log(4))))
         q = min(q, 11)
-        tpad = np.concatenate([np.asarray(text, np.int32),
-                               np.zeros(q, np.int32)])
-        keys = np.empty(n, dtype=np.int32)
+        tpad = np.concatenate([np.asarray(text, np.int8),
+                               np.zeros(q, np.int8)])   # int8: codes fit
+        idx = np.arange(4 ** q, dtype=np.int64)
+        key6 = np.zeros(4 ** q, dtype=np.int32)
+        for t in range(q):
+            key6 = key6 * np.int32(6) + ((idx >> (2 * (q - 1 - t))) & 3).astype(np.int32)
+        # keys are non-decreasing in SA order, so the global searchsorted
+        # index of each q-mer is the SUM of per-chunk searchsorted indices —
+        # the full (n,) int32 key array (4 GB at 1 Gbp) never materializes
+        lo = np.zeros(4 ** q, dtype=np.int64)
+        hi = np.zeros(4 ** q, dtype=np.int64)
         CHUNK = 1 << 24
         for c0 in range(0, n, CHUNK):
             sa_c = self.sa[c0 : c0 + CHUNK].astype(np.int64)
             kc = np.zeros(len(sa_c), dtype=np.int32)
             for t in range(q):
                 kc = kc * np.int32(6) + tpad[sa_c + t]
-            keys[c0 : c0 + len(sa_c)] = kc
-        idx = np.arange(4 ** q, dtype=np.int64)
-        key6 = np.zeros(4 ** q, dtype=np.int32)
-        for t in range(q):
-            key6 = key6 * np.int32(6) + ((idx >> (2 * (q - 1 - t))) & 3).astype(np.int32)
+            lo += np.searchsorted(kc, key6, side="left")
+            hi += np.searchsorted(kc, key6, side="right")
         self.prefix_q = q
-        self.pfx_lo = np.searchsorted(keys, key6, side="left").astype(np.int32)
-        self.pfx_hi = np.searchsorted(keys, key6, side="right").astype(np.int32)
+        self.pfx_lo = lo.astype(np.int32)
+        self.pfx_hi = hi.astype(np.int32)
 
     def subsample_sa(self, rate: int) -> "FMIndex":
         """Keep SA values at text positions % rate == 0; see ops/locate.py."""
-        marked = (self.sa % rate == 0)
+        marked = np.empty(self.n, dtype=bool)
+        CH = 1 << 26   # bound the % temp (int32, 4 GB at 1 Gbp unchunked)
+        for c0 in range(0, self.n, CH):
+            marked[c0 : c0 + CH] = (self.sa[c0 : c0 + CH] % rate == 0)
         sa_rank = np.zeros(self.n + 1, dtype=np.int32)
         np.cumsum(marked, out=sa_rank[1:])
         return FMIndex(

@@ -196,7 +196,11 @@ def _flat_core(fmset, reads, lengths, bin_slot, rate_ppm, max_errors,
     A = (pos - starts[:, None]).reshape(R2, ns * capacity)
     V = hmask.reshape(R2, ns * capacity)
     row_ids = jnp.arange(R2, dtype=jnp.int32)
+    if stop_after == "reshape":
+        return A, V
     keep2 = pairwise_dedup(A, V)
+    if stop_after == "dedup":
+        return keep2
     vrow, vanch, keep, n_spilled = global_compact(A, keep2, row_ids,
                                                   compact_cap)
     if stop_after == "compact":

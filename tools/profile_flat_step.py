@@ -124,9 +124,12 @@ def main():
 
     timed(stage_classify, "classify          ")
     timed(stage_pool, "classify+pool     ")
-    timed(stage_stop("search"), "+seed search      ")
-    timed(stage_stop("locate"), "+SA locate        ")
-    timed(stage_stop("compact"), "+dedup+compact    ")
+    import os
+    stages = os.environ.get(
+        "DY_PFS_STAGES", "search,locate,compact").split(",")
+    for st in stages:
+        if st:
+            timed(stage_stop(st), f"+{st:17s}")
     timed(stage_full, "FULL (=+verify)   ")
 
 
