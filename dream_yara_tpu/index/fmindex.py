@@ -43,8 +43,12 @@ class FMIndex:
     counts: np.ndarray         # (SIGMA + 1,) int32 cumulative C table
     sa: np.ndarray             # full SA (sample_rate=1) or sampled values
     sample_rate: int = 1
-    sa_marked: np.ndarray | None = None  # (n,) uint8 bitmap-ish mark per SA row (sampled mode)
-    sa_rank: np.ndarray | None = None    # (n_blocks+1,) int32 prefix counts of marks (sampled mode)
+    # sampled mode: packed mark bitmap + rank checkpoints, the SAME layout
+    # the device uses (ops/device_index.py) — ~n/6 bytes total. The old
+    # dense host arrays (uint8 marks + int32 prefix counts) cost 5n bytes
+    # per bin on disk AND in RAM, which dominated Gbp-scale artifacts.
+    sa_mark_bits: np.ndarray | None = None  # (ceil(n/32) pad4,) uint32
+    sa_rank_ck: np.ndarray | None = None    # (ceil(n/128)+1,) int32
     # q-mer prefix lookup (classic FM speedup): interval of every ACGT q-mer,
     # i.e. the state after q backward-search steps — one table gather replaces
     # q rank-query iterations on the device.
@@ -142,16 +146,37 @@ class FMIndex:
 
     def subsample_sa(self, rate: int) -> "FMIndex":
         """Keep SA values at text positions % rate == 0; see ops/locate.py."""
-        marked = np.empty(self.n, dtype=bool)
-        CH = 1 << 26   # bound the % temp (int32, 4 GB at 1 Gbp unchunked)
-        for c0 in range(0, self.n, CH):
-            marked[c0 : c0 + CH] = (self.sa[c0 : c0 + CH] % rate == 0)
-        sa_rank = np.zeros(self.n + 1, dtype=np.int32)
-        np.cumsum(marked, out=sa_rank[1:])
+        n = self.n
+        nw = ((n + 31) // 32 + 3) // 4 * 4      # 4-word groups (device DMA)
+        nck = (n + 127) // 128
+        mark_bits = np.zeros(nw, dtype=np.uint32)
+        rank_ck = np.zeros(nck + 1, dtype=np.int32)
+        samples = np.empty((n + rate - 1) // rate, dtype=np.int32)
+        shifts = np.arange(32, dtype=np.uint32)
+        CH = 1 << 25                            # multiple of 128 and 32
+        done = 0
+        for c0 in range(0, n, CH):
+            sc = self.sa[c0 : c0 + CH]
+            m = sc % rate == 0
+            k = int(m.sum())
+            samples[done : done + k] = sc[m]
+            done += k
+            pad = np.zeros(((len(m) + 31) // 32) * 32, dtype=bool)
+            pad[: len(m)] = m
+            w = pad.reshape(-1, 32)
+            mark_bits[c0 // 32 : c0 // 32 + len(w)] = (
+                w.astype(np.uint32) << shifts[None, :]).sum(
+                    axis=1, dtype=np.uint32)
+            per = np.zeros(((len(m) + 127) // 128) * 128, dtype=bool)
+            per[: len(m)] = m
+            rank_ck[c0 // 128 + 1 : c0 // 128 + 1 + len(per) // 128] = (
+                per.reshape(-1, 128).sum(axis=1, dtype=np.int32))
+        np.cumsum(rank_ck, out=rank_ck)
+        assert done == len(samples), (done, len(samples))
         return FMIndex(
-            n=self.n, bwt_blocks=self.bwt_blocks, occ=self.occ,
-            counts=self.counts, sa=self.sa[marked], sample_rate=rate,
-            sa_marked=marked.astype(np.uint8), sa_rank=sa_rank,
+            n=n, bwt_blocks=self.bwt_blocks, occ=self.occ,
+            counts=self.counts, sa=samples, sample_rate=rate,
+            sa_mark_bits=mark_bits, sa_rank_ck=rank_ck,
             prefix_q=self.prefix_q, pfx_lo=self.pfx_lo, pfx_hi=self.pfx_hi,
         )
 
@@ -179,25 +204,40 @@ class FMIndex:
                 return lo, lo
         return lo, hi
 
+    def _mark(self, row: int) -> bool:
+        return bool((int(self.sa_mark_bits[row >> 5]) >> (row & 31)) & 1)
+
+    def _mark_rank(self, row: int) -> int:
+        """Number of marked rows before `row` (checkpoint + partial words)."""
+        ck = int(self.sa_rank_ck[row >> 7])
+        w0 = (row >> 7) << 2                    # first word of the 128-block
+        for w in range(w0, row >> 5):
+            ck += int(self.sa_mark_bits[w]).bit_count()
+        tail = row & 31
+        if tail:
+            ck += int(int(self.sa_mark_bits[row >> 5])
+                      & ((1 << tail) - 1)).bit_count()
+        return ck
+
     def locate(self, row: int) -> int:
         """Text position of SA row (host oracle; device version in ops/locate.py)."""
         if self.sample_rate == 1:
             return int(self.sa[row])
         steps = 0
-        while not self.sa_marked[row]:
-            c = None
+        while not self._mark(row):
             b, r = divmod(row, BLOCK)
             c = int(self.bwt_blocks[b, r])
             row = int(self.counts[c]) + self.rank(c, row)
             steps += 1
-        return int(self.sa[self.sa_rank[row]]) + steps
+        return int(self.sa[self._mark_rank(row)]) + steps
 
     # --- serialization (per-bin artifact, SURVEY.md §5.4) ---
 
     def save(self, path):
         extra = {}
         if self.sample_rate > 1:
-            extra.update(sa_marked=self.sa_marked, sa_rank=self.sa_rank)
+            extra.update(sa_mark_bits=self.sa_mark_bits,
+                         sa_rank_ck=self.sa_rank_ck)
         if self.prefix_q:
             extra.update(prefix_q=self.prefix_q, pfx_lo=self.pfx_lo,
                          pfx_hi=self.pfx_hi)
@@ -214,10 +254,28 @@ class FMIndex:
         z = np.load(path)
         rate = int(z["sample_rate"])
         has_pfx = "prefix_q" in z.files
+        mark_bits = rank_ck = None
+        if rate > 1:
+            if "sa_mark_bits" in z.files:
+                mark_bits, rank_ck = z["sa_mark_bits"], z["sa_rank_ck"]
+            else:
+                # legacy artifact with dense uint8 marks + int32 prefix
+                # counts: pack on load
+                marked = z["sa_marked"].astype(bool)
+                n = int(z["n"])
+                nw = ((n + 31) // 32 + 3) // 4 * 4
+                pad = np.zeros(nw * 32, dtype=bool)
+                pad[:n] = marked
+                mark_bits = (pad.reshape(nw, 32).astype(np.uint32)
+                             << np.arange(32, dtype=np.uint32)[None, :]).sum(
+                                 axis=1, dtype=np.uint32)
+                nck = (n + 127) // 128
+                per = pad[: nck * 128].reshape(nck, 128).sum(axis=1)
+                rank_ck = np.zeros(nck + 1, dtype=np.int32)
+                np.cumsum(per, out=rank_ck[1:])
         return cls(n=int(z["n"]), bwt_blocks=z["bwt_blocks"], occ=z["occ"],
                    counts=z["counts"], sa=z["sa"], sample_rate=rate,
-                   sa_marked=z["sa_marked"] if rate > 1 else None,
-                   sa_rank=z["sa_rank"] if rate > 1 else None,
+                   sa_mark_bits=mark_bits, sa_rank_ck=rank_ck,
                    prefix_q=int(z["prefix_q"]) if has_pfx else 0,
                    pfx_lo=z["pfx_lo"] if has_pfx else None,
                    pfx_hi=z["pfx_hi"] if has_pfx else None)

@@ -38,19 +38,8 @@ class DeviceFM(NamedTuple):
         from .rank import build_fused_rank_rows
         mark_bits = rank_ck = None
         if fm.sample_rate > 1:
-            marked = fm.sa_marked.astype(bool)
-            n = fm.n
-            nw = ((n + 31) // 32 + 3) // 4 * 4  # pad to 4-word groups
-            padded = np.zeros(nw * 32, dtype=bool)
-            padded[:n] = marked
-            bits = padded.reshape(nw, 32)
-            mark_bits = (bits.astype(np.uint32)
-                         << np.arange(32, dtype=np.uint32)[None, :]).sum(
-                             axis=1, dtype=np.uint32)
-            nck = (n + 127) // 128
-            per = padded[: nck * 128].reshape(nck, 128).sum(axis=1)
-            rank_ck = np.zeros(nck + 1, dtype=np.int32)
-            np.cumsum(per, out=rank_ck[1:])
+            # host FMIndex stores the packed device layout directly
+            mark_bits, rank_ck = fm.sa_mark_bits, fm.sa_rank_ck
         return cls(
             bwt_blocks=jnp.asarray(fm.bwt_blocks),
             occ=jnp.asarray(fm.occ),

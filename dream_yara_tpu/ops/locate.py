@@ -22,34 +22,6 @@ from .rank import rank
 _LOG2_BLOCK = 7
 
 
-def locate_sampled(bwt_blocks, occ, counts, sa_samples, sa_marked, sa_rank,
-                   rows: jnp.ndarray, sample_rate: int) -> jnp.ndarray:
-    """Text positions for SA rows under a rate-s sampled SA.
-
-    sa_samples: (n_marked,) int32 SA values of marked rows;
-    sa_marked: (n,) uint8 1 where SA[row] % s == 0;
-    sa_rank: (n+1,) int32 prefix counts of marks; rows: (Q,) int32.
-    """
-    Q = rows.shape[0]
-    steps0 = jnp.zeros(Q, dtype=jnp.int32)
-
-    def body(_t, carry):
-        rows, steps = carry
-        marked = jnp.take(sa_marked, rows) > 0
-        b = rows >> _LOG2_BLOCK
-        r = rows & (BLOCK - 1)
-        blk = jnp.take(bwt_blocks, b, axis=0)                    # (Q, 128)
-        c = jnp.take_along_axis(blk, r[:, None], axis=1)[:, 0].astype(jnp.int32)
-        lf = jnp.take(counts, c) + rank(bwt_blocks, occ, c, rows)
-        rows = jnp.where(marked, rows, lf)
-        steps = jnp.where(marked, steps, steps + 1)
-        return rows, steps
-
-    rows, steps = jax.lax.fori_loop(0, sample_rate - 1, body, (rows, steps0))
-    base = jnp.take(sa_samples, jnp.take(sa_rank, rows))
-    return base + steps
-
-
 def locate_sampled_packed(bwt_blocks, occ, counts, sa_samples, mark_bits,
                           rank_ck, rows: jnp.ndarray, sample_rate: int,
                           valid=None) -> jnp.ndarray:

@@ -193,6 +193,11 @@ def _flat_core(fmset, reads, lengths, bin_slot, rate_ppm, max_errors,
     ns = max_errors + 1
     if stop_after == "locate":
         return pos, hmask
+    # materialize the hit positions ONCE: pos/hmask feed several consumers
+    # (dedup eq, compaction anchors, row ids) and without the barrier XLA
+    # rematerializes the whole locate/search gather subgraph per consumer —
+    # measured +1.7s at config-2 shapes (tools/profile_flat_step.py)
+    pos, hmask = jax.lax.optimization_barrier((pos, hmask))
     A = (pos - starts[:, None]).reshape(R2, ns * capacity)
     V = hmask.reshape(R2, ns * capacity)
     row_ids = jnp.arange(R2, dtype=jnp.int32)
@@ -201,6 +206,21 @@ def _flat_core(fmset, reads, lengths, bin_slot, rate_ppm, max_errors,
     keep2 = pairwise_dedup(A, V)
     if stop_after == "dedup":
         return keep2
+    if stop_after in ("flatten", "cumsum", "scatter"):
+        # inline mirror of global_compact for stage attribution only
+        keep_f = keep2.reshape(-1)
+        rowv = jnp.repeat(row_ids, A.shape[1])
+        anch = jnp.where(keep2, A, 0).reshape(-1)
+        if stop_after == "flatten":
+            return keep_f, rowv, anch
+        pos2 = jnp.cumsum(keep_f.astype(jnp.int32)) - 1
+        total = jnp.where(keep_f.shape[0] > 0, pos2[-1] + 1, 0)
+        if stop_after == "cumsum":
+            return pos2, total
+        dst = jnp.where(keep_f & (pos2 < compact_cap), pos2, compact_cap)
+        ra = jnp.stack([jnp.where(keep_f, rowv, 0), anch], axis=1)
+        buf = jnp.zeros((compact_cap + 1, 2), jnp.int32).at[dst].set(ra)
+        return buf[:compact_cap, 0], buf[:compact_cap, 1]
     vrow, vanch, keep, n_spilled = global_compact(A, keep2, row_ids,
                                                   compact_cap)
     if stop_after == "compact":

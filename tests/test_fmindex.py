@@ -74,6 +74,26 @@ def test_save_load(fm_and_text, tmp_path):
     assert fms2.locate(10) == fm.sa[10]
 
 
+def test_load_legacy_dense_sampled_artifact(fm_and_text, tmp_path, rng):
+    """Round-1 artifacts stored dense uint8 marks + int32 prefix counts;
+    load() must pack them into the bitmap+checkpoint layout."""
+    fm, _ = fm_and_text
+    fms = fm.subsample_sa(8)
+    marked = np.zeros(fm.n, np.uint8)
+    sa_rank = np.zeros(fm.n + 1, np.int32)
+    for row in range(fm.n):
+        marked[row] = (fm.sa[row] % 8 == 0)
+    np.cumsum(marked, out=sa_rank[1:])
+    np.savez(tmp_path / "legacy.npz", n=fm.n, bwt_blocks=fm.bwt_blocks,
+             occ=fm.occ, counts=fm.counts, sa=fms.sa, sample_rate=8,
+             sa_marked=marked, sa_rank=sa_rank)
+    back = FMIndex.load(tmp_path / "legacy.npz")
+    assert np.array_equal(back.sa_mark_bits, fms.sa_mark_bits)
+    assert np.array_equal(back.sa_rank_ck, fms.sa_rank_ck)
+    for row in rng.integers(0, fm.n, 25):
+        assert back.locate(int(row)) == int(fm.sa[row])
+
+
 def test_block_divisible_text_length(rng):
     """Regression: rank(c, n) on a text whose length is an exact multiple
     of the 128-char block indexed one BWT block past the end (hit at the

@@ -186,17 +186,20 @@ def test_ibf_device_matches_host(rng):
 
 
 def test_locate_sampled_device(fixture):
-    from dream_yara_tpu.ops.locate import locate_sampled
+    from dream_yara_tpu.ops.locate import locate_sampled_packed
 
     rng, text, fm, dev = fixture
     fms = fm.subsample_sa(8)
     rows = jnp.asarray(rng.integers(0, fm.n, 300).astype(np.int32))
-    got = np.asarray(locate_sampled(
+    got = np.asarray(locate_sampled_packed(
         dev.bwt_blocks, dev.occ, dev.counts,
-        jnp.asarray(fms.sa), jnp.asarray(fms.sa_marked),
-        jnp.asarray(fms.sa_rank), rows, sample_rate=8))
+        jnp.asarray(fms.sa), jnp.asarray(fms.sa_mark_bits),
+        jnp.asarray(fms.sa_rank_ck), rows, sample_rate=8))
     want = fm.sa[np.asarray(rows)]
     assert np.array_equal(got, want)
+    # host oracle agrees row-by-row (exercises _mark/_mark_rank bit paths)
+    for r in np.asarray(rows)[:40]:
+        assert fms.locate(int(r)) == int(fm.sa[r])
 
 
 def test_rank_fused_matches_plain(fixture):
