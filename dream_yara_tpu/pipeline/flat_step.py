@@ -193,11 +193,6 @@ def _flat_core(fmset, reads, lengths, bin_slot, rate_ppm, max_errors,
     ns = max_errors + 1
     if stop_after == "locate":
         return pos, hmask
-    # materialize the hit positions ONCE: pos/hmask feed several consumers
-    # (dedup eq, compaction anchors, row ids) and without the barrier XLA
-    # rematerializes the whole locate/search gather subgraph per consumer —
-    # measured +1.7s at config-2 shapes (tools/profile_flat_step.py)
-    pos, hmask = jax.lax.optimization_barrier((pos, hmask))
     A = (pos - starts[:, None]).reshape(R2, ns * capacity)
     V = hmask.reshape(R2, ns * capacity)
     row_ids = jnp.arange(R2, dtype=jnp.int32)
