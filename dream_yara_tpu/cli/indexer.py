@@ -61,7 +61,7 @@ def check_hbm_ceiling(n_bp: int, sample_rate: int, hbm_gb: float, bin_id,
 
 
 def build_one_bin(args):
-    fasta, db_dir, bin_id, sample_rate, hbm_gb, allow_oversize = args
+    fasta, db_dir, bin_id, sample_rate, hbm_gb, allow_oversize, tmp_dir = args
     from ..index.fmindex import FMIndex
     from ..io.seqstore import SeqStore
     from .common import FASTA_EXTS  # noqa: F401
@@ -71,7 +71,8 @@ def build_one_bin(args):
     store = SeqStore.from_fasta(fasta)
     check_hbm_ceiling(len(store.text), sample_rate, hbm_gb, bin_id,
                       allow_oversize)
-    fm = FMIndex.build(store.text, sample_rate=sample_rate)
+    fm = FMIndex.build(store.text, sample_rate=sample_rate,
+                       tmp_dir=tmp_dir)
     (Path(db_dir) / "bins").mkdir(parents=True, exist_ok=True)
     store.save(bin_file(db_dir, bin_id, "store"))
     fm.save(bin_file(db_dir, bin_id, "fm"))
@@ -94,6 +95,10 @@ def main(argv=None):
     p.add_argument("--allow-oversize", action="store_true",
                    help="build bins larger than one device's HBM anyway "
                         "(map them sharded: parallel/sharded_fm.py)")
+    p.add_argument("--tmp-dir", default=None,
+                   help="external-memory SA construction: back the suffix-array\n"
+                        "work buffer with an OS-paged file in this directory\n"
+                        "(reference indexer --tmp-dir analog)")
     p.add_argument("-t", "--threads", type=int, default=1,
                    help="parallel bin builds (processes)")
     p.add_argument("--bin-id", type=int, default=None,
@@ -110,13 +115,14 @@ def main(argv=None):
             sys.exit("error: --bin-id expects exactly one replacement fasta")
         bin_id, n, dt = build_one_bin(
             (paths[0], db_dir, a.bin_id, a.sample_rate, a.hbm_gb,
-             a.allow_oversize))
+             a.allow_oversize, a.tmp_dir))
         print(f"[indexer] rebuilt bin {bin_id} ({n} bp) in {dt:.1f}s",
               file=sys.stderr)
         return
 
     paths = expand_bin_paths(a.bins, a.bins_dir)
-    jobs = [(f, db_dir, b, a.sample_rate, a.hbm_gb, a.allow_oversize)
+    jobs = [(f, db_dir, b, a.sample_rate, a.hbm_gb, a.allow_oversize,
+             a.tmp_dir)
             for b, f in enumerate(paths)]
     t0 = time.time()
     if a.threads > 1:

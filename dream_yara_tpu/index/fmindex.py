@@ -58,7 +58,11 @@ class FMIndex:
 
     @classmethod
     def build(cls, text: np.ndarray, sample_rate: int = 1,
-              sa: np.ndarray | None = None) -> "FMIndex":
+              sa: np.ndarray | None = None,
+              tmp_dir: str | None = None) -> "FMIndex":
+        """tmp_dir: external-memory SA construction (reference indexer
+        `--tmp-dir`, SURVEY.md §2.1 [U]) — the SA lives in an OS-paged
+        memmap under tmp_dir instead of RAM."""
         text = np.asarray(text, dtype=np.int8)
         n = len(text)
         if n >= (1 << 31):
@@ -67,7 +71,7 @@ class FMIndex:
                 f"~ 2.1 Gbp per bin): split it into smaller bins — the "
                 f"DREAM design point — e.g. per chromosome for GRCh38")
         if sa is None:
-            sa = build_suffix_array(text)
+            sa = build_suffix_array(text, tmp_dir=tmp_dir)
         sa = np.asarray(sa, dtype=np.int32)
 
         # chunked BWT + occ build: the obvious one-liners materialize

@@ -47,13 +47,22 @@ def sa_numpy(text: np.ndarray) -> np.ndarray:
         k *= 2
 
 
-def build_suffix_array(text: np.ndarray) -> np.ndarray:
-    """Best available engine: C++ SA-IS if built, else numpy doubling."""
+def build_suffix_array(text: np.ndarray,
+                       tmp_dir: str | None = None) -> np.ndarray:
+    """Best available engine: C++ SA-IS if built, else numpy doubling.
+
+    tmp_dir: external-memory mode (reference indexer `--tmp-dir`,
+    SURVEY.md §2.1/§2.4 [U]): the 4n-byte suffix array lives in an
+    unlinked memory-mapped file under tmp_dir instead of anonymous RAM,
+    so the OS pages it to disk under memory pressure — bins whose SA
+    exceeds free RAM still build. The SA-IS engine writes into the map
+    directly (native/sais.cpp dy_sais_u8_into).
+    """
     try:
         from ..native import sais
 
         if sais.available():
-            return sais.suffix_array(text)
+            return sais.suffix_array(text, tmp_dir=tmp_dir)
     except ImportError:
         pass
     return sa_numpy(text)

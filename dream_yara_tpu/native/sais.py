@@ -39,8 +39,12 @@ def available() -> bool:
     return _load() is not None
 
 
-def suffix_array(text: np.ndarray) -> np.ndarray:
-    """O(n) suffix array of an int8/uint8 code array."""
+def suffix_array(text: np.ndarray,
+                 tmp_dir: str | None = None) -> np.ndarray:
+    """O(n) suffix array of an int8/uint8 code array.
+
+    tmp_dir: optional external-memory mode — the output SA is an
+    unlinked file-backed memmap under tmp_dir (OS-paged)."""
     lib = _load()
     if lib is None:
         raise RuntimeError("native SA-IS library unavailable")
@@ -52,7 +56,23 @@ def suffix_array(text: np.ndarray) -> np.ndarray:
         # low-memory path: the engine writes into our n+1 buffer directly
         # (row 0 = virtual sentinel) — no internal int32 text/SA copies;
         # peak working set ~6 bytes/char (see sais.cpp header comment)
-        sa1 = np.empty(n + 1, dtype=np.int32)
+        if tmp_dir is not None:
+            # external-memory mode (--tmp-dir): back the SA with an
+            # unlinked mmap'd file so the OS can page it out; the mapping
+            # outlives the unlink, so no cleanup is needed
+            import os
+            import tempfile
+
+            fd, path = tempfile.mkstemp(prefix="dysa.", dir=tmp_dir)
+            try:
+                os.ftruncate(fd, (n + 1) * 4)
+                sa1 = np.memmap(path, dtype=np.int32, mode="r+",
+                                shape=(n + 1,))
+            finally:
+                os.close(fd)
+                os.unlink(path)
+        else:
+            sa1 = np.empty(n + 1, dtype=np.int32)
         rc = lib.dy_sais_u8_into(
             t.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
             sa1.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),

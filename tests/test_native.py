@@ -36,6 +36,15 @@ def test_sais_byte255_fallback(rng):
     assert np.array_equal(sais.suffix_array(text), sa_numpy(text))
 
 
+def test_sais_tmp_dir_external_memory(rng, tmp_path):
+    """--tmp-dir mode: SA built into an unlinked OS-paged memmap must be
+    identical to the in-RAM build, and leave no files behind."""
+    text = random_text(rng, 20000)
+    got = sais.suffix_array(text, tmp_dir=str(tmp_path))
+    assert np.array_equal(got, sais.suffix_array(text))
+    assert list(tmp_path.iterdir()) == []  # unlinked immediately
+
+
 def test_sais_arbitrary_bytes(rng):
     """Full byte alphabet (no 255): exercises K=maxc+2 bucket sizing."""
     text = rng.integers(0, 255, 6000).astype(np.uint8)
