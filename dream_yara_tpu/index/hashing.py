@@ -101,6 +101,35 @@ def ibf_rows(lo: np.ndarray, hi: np.ndarray, n_hashes: int, n_rows: int) -> np.n
     return v % np.int64(n_rows)
 
 
+BLOCK_WORDS = 128  # uint32 words per gatherable filter block (512 B row)
+
+
+def ibf_blocked_rows(lo: np.ndarray, hi: np.ndarray, n_hashes: int,
+                     n_rows: int, words_per_row: int) -> np.ndarray:
+    """Blocked-layout hash rows: all n_hashes probes of a k-mer land inside
+    ONE 128-word block (S = 128/words_per_row consecutive rows), so the
+    device query gathers a single 512 B block row per window instead of
+    n_hashes scattered words — gathers cost per INDEX on TPU
+    (tools/proto_gather_rate.py), row width is nearly free. Probe sub-rows
+    are base + j*stride mod S with an odd stride (S is a power of two), so
+    the n_hashes probes are distinct. Same (nk, n_hashes) shape/contract as
+    ibf_rows; classic cache-blocked Bloom analysis applies (slightly higher
+    FP at equal bits, irrelevant at k-mer-lemma routing thresholds)."""
+    S = BLOCK_WORDS // words_per_row
+    n_blocks = n_rows // S
+    mix = (lo ^ (hi * MIX_MULT)).astype(np.uint32)
+    v0 = fmix32(mix ^ HASH_SEEDS[0])
+    block = ((v0 & np.uint32(0x7FFFFFFF)).astype(np.int64)
+             % np.int64(n_blocks))
+    v1 = fmix32(mix ^ HASH_SEEDS[1])
+    base = (v1 & np.uint32(S - 1)).astype(np.int64)
+    stride = (((v1 >> np.uint32(8)) & np.uint32(S - 1))
+              | np.uint32(1)).astype(np.int64)
+    j = np.arange(n_hashes, dtype=np.int64)
+    sub = (base[:, None] + j[None, :] * stride[:, None]) % np.int64(S)
+    return block[:, None] * np.int64(S) + sub
+
+
 def minimizer_select(lo: np.ndarray, hi: np.ndarray, valid: np.ndarray,
                      w: int, k: int) -> np.ndarray:
     """Winnowing selection mask over the k-mer windows of one sequence.

@@ -45,6 +45,13 @@ class InterleavedBloomFilter:
                        # row gathers of the classic forward-insert layout
                        # (hashing.canonical_windows). The default for new
                        # filters; 0 keeps compatibility with old artifacts.
+    blocked: int = 0   # 1 = cache-blocked layout: a k-mer's n_hashes probe
+                       # rows all live in ONE 128-word block, so the device
+                       # classifier gathers a single 512 B block row per
+                       # window instead of n_hashes scattered words
+                       # (hashing.ibf_blocked_rows) — gathers cost per index
+                       # on TPU. Default for new filters with <= 512 bins;
+                       # 0 = classic layout (old artifacts, or > 512 bins).
 
     def __post_init__(self):
         if self.window < self.k:
@@ -56,12 +63,31 @@ class InterleavedBloomFilter:
 
     @classmethod
     def create(cls, bins: int, size_bits: int, n_hashes: int = 3, k: int = 19,
-               window: int = 0, canonical: bool = True):
+               window: int = 0, canonical: bool = True,
+               blocked: bool | None = None):
+        from .hashing import BLOCK_WORDS
+
         bins_padded = ((bins + 63) // 64) * 64
+        wd = bins_padded // 32
         n_rows = max(1, size_bits // bins_padded)
-        words = np.zeros((n_rows, bins_padded // 32), dtype=np.uint32)
+        if blocked is None:
+            # blocked needs >= n_hashes+1 sub-rows per 128-word block
+            blocked = BLOCK_WORDS // wd >= 8
+        if blocked:
+            S = BLOCK_WORDS // wd
+            n_rows = max(S, (n_rows // S) * S)   # whole blocks
+        words = np.zeros((n_rows, wd), dtype=np.uint32)
         return cls(bins=bins, n_rows=n_rows, n_hashes=n_hashes, k=k,
-                   words=words, window=window, canonical=int(canonical))
+                   words=words, window=window, canonical=int(canonical),
+                   blocked=int(blocked))
+
+    def _rows(self, lo, hi):
+        if self.blocked:
+            from .hashing import ibf_blocked_rows
+
+            return ibf_blocked_rows(lo, hi, self.n_hashes, self.n_rows,
+                                    self.words.shape[1])
+        return ibf_rows(lo, hi, self.n_hashes, self.n_rows)
 
     # --- build / update (host, offline path) ---
 
@@ -75,7 +101,7 @@ class InterleavedBloomFilter:
             valid = minimizer_select(lo, hi, valid, self.window, self.k)
         if not valid.any():
             return
-        rows = ibf_rows(lo[valid], hi[valid], self.n_hashes, self.n_rows).reshape(-1)
+        rows = self._rows(lo[valid], hi[valid]).reshape(-1)
         word, bit = divmod(bin_id, 32)
         try:
             from ..native import scatter
@@ -111,7 +137,7 @@ class InterleavedBloomFilter:
         counts = np.zeros(self.bins, dtype=np.int32)
         if not valid.any():
             return counts
-        rows = ibf_rows(lo[valid], hi[valid], self.n_hashes, self.n_rows)
+        rows = self._rows(lo[valid], hi[valid])
         row_words = self.words[rows]                  # (nk, h, W)
         anded = row_words[:, 0]
         for j in range(1, self.n_hashes):
@@ -165,7 +191,8 @@ class InterleavedBloomFilter:
     def save(self, path):
         np.savez(path, bins=self.bins, n_rows=self.n_rows,
                  n_hashes=self.n_hashes, k=self.k, words=self.words,
-                 window=self.window, canonical=self.canonical)
+                 window=self.window, canonical=self.canonical,
+                 blocked=self.blocked)
 
     @classmethod
     def load(cls, path) -> "InterleavedBloomFilter":
@@ -177,4 +204,5 @@ class InterleavedBloomFilter:
                    n_hashes=int(z["n_hashes"]), k=int(z["k"]), words=z["words"],
                    window=int(z["window"]) if "window" in z.files else 0,
                    canonical=(int(z["canonical"])
-                              if "canonical" in z.files else 0))
+                              if "canonical" in z.files else 0),
+                   blocked=int(z["blocked"]) if "blocked" in z.files else 0)

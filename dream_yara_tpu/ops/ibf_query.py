@@ -119,6 +119,43 @@ def minimizer_select_dev(mix: jnp.ndarray, valid: jnp.ndarray,
     return sel & valid
 
 
+def _count_rows_blocked(filter_words, mixf, lanes_valid, n_hashes: int):
+    """Blocked-layout counts: ONE 128-word (512 B) block-row gather per
+    window; the n_hashes probe sub-rows are selected on-VPU by one-hot
+    reduction (bit-identical to index/hashing.ibf_blocked_rows). Gathers
+    cost per index on this TPU, so this is n_hashes x fewer gather indices
+    than the classic per-hash layout at ~free VPU cost."""
+    from ..index.hashing import BLOCK_WORDS
+
+    R, M = lanes_valid.shape
+    n_rows, Wd = filter_words.shape
+    S = BLOCK_WORDS // Wd
+    n_blocks = n_rows // S
+    table = filter_words.reshape(n_blocks, BLOCK_WORDS)
+    v0 = _fmix32(mixf ^ jnp.uint32(HASH_SEEDS[0]))
+    block = (v0 & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32) % jnp.int32(n_blocks)
+    v1 = _fmix32(mixf ^ jnp.uint32(HASH_SEEDS[1]))
+    base = v1 & jnp.uint32(S - 1)
+    stride = ((v1 >> jnp.uint32(8)) & jnp.uint32(S - 1)) | jnp.uint32(1)
+    g = jnp.take(table, block, axis=0)                    # (N, 128)
+    vflat = lanes_valid.reshape(-1)
+    sidx = jnp.arange(S, dtype=jnp.uint32)
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    outs = []
+    for w in range(Wd):
+        gw = g[:, w::Wd] if Wd > 1 else g                 # (N, S)
+        anded = None
+        for j in range(n_hashes):
+            pj = (base + jnp.uint32(j) * stride) & jnp.uint32(S - 1)
+            sel = jnp.where(sidx[None, :] == pj[:, None], gw,
+                            jnp.uint32(0)).sum(axis=1, dtype=jnp.uint32)
+            anded = sel if anded is None else (anded & sel)
+        anded = jnp.where(vflat, anded, jnp.uint32(0)).reshape(R, M)
+        bits = ((anded[:, :, None] >> shifts) & 1).astype(jnp.int32)
+        outs.append(bits.sum(axis=1, dtype=jnp.int32))    # (R, 32)
+    return jnp.stack(outs, axis=1)                        # (R, Wd, 32)
+
+
 def _count_rows(filter_words, rows_by_hash, lanes_valid):
     """AND the hash rows per lane and unpack to per-bin counts.
 
@@ -146,13 +183,14 @@ def _count_rows(filter_words, rows_by_hash, lanes_valid):
 
 def ibf_bin_counts(filter_words: jnp.ndarray, reads: jnp.ndarray,
                    lengths: jnp.ndarray, k: int, n_hashes: int,
-                   window: int = 0,
-                   canonical: bool = False) -> tuple[jnp.ndarray, jnp.ndarray]:
+                   window: int = 0, canonical: bool = False,
+                   blocked: bool = False) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Per-bin (selected-)k-mer hit counts for each read row.
 
     filter_words: (n_rows, Wd) uint32; reads: (R, L) int8. Returns
     (counts, n_sel): counts (R, Wd*32) int32 over padded bins; n_sel (R,)
-    = number of counted k-mers (for the minimizer threshold).
+    = number of counted k-mers (for the minimizer threshold). blocked=True
+    uses the cache-blocked probe layout (one 512 B row gather per window).
     """
     n_rows = filter_words.shape[0]
     R = reads.shape[0]
@@ -180,6 +218,9 @@ def ibf_bin_counts(filter_words: jnp.ndarray, reads: jnp.ndarray,
     # hash axis stays a Python loop so no tensor carries it as a tiny
     # TPU-tiled minor dimension
     mixf = mix.reshape(-1)                                     # (R*m,)
+    if blocked:
+        counts = _count_rows_blocked(filter_words, mixf, valid, n_hashes)
+        return counts.reshape(R, -1), n_sel
     rows_by_hash = []
     for j in range(n_hashes):
         vj = _fmix32(mixf ^ jnp.uint32(HASH_SEEDS[j]))
@@ -210,10 +251,11 @@ def ibf_candidates(filter_words, reads, lengths, k, n_hashes, thresholds,
 
 @functools.partial(jax.jit,
                    static_argnames=("half", "L", "k", "n_hashes", "rate_ppm",
-                                    "window", "canonical"))
+                                    "window", "canonical", "blocked"))
 def ibf_classify_packed(filter_words, blob, *, half: int, L: int,
                         k: int, n_hashes: int, rate_ppm: int,
-                        window: int = 0, canonical: bool = False):
+                        window: int = 0, canonical: bool = False,
+                        blocked: bool = False):
     """Whole-batch classification from packed uploads: unpack fwd+rc rows on
     device, count (selected) k-mers per bin, threshold, OR the two
     orientations, and bit-pack the (reads, bins) candidate mask so the
@@ -226,13 +268,14 @@ def ibf_classify_packed(filter_words, blob, *, half: int, L: int,
     if canonical:
         # canonical values cover both orientations: hash forward rows only
         counts, n_sel = ibf_bin_counts(filter_words, reads[:half], lengths,
-                                       k, n_hashes, window, canonical=True)
+                                       k, n_hashes, window, canonical=True,
+                                       blocked=blocked)
         thr = classify_thresholds(lengths, n_sel, k, window, rate_ppm)
         cand = counts >= thr[:, None]                         # (half, Bp)
     else:
         lengths2 = jnp.concatenate([lengths, lengths])
         counts, n_sel = ibf_bin_counts(filter_words, reads, lengths2, k,
-                                       n_hashes, window)
+                                       n_hashes, window, blocked=blocked)
         thr = classify_thresholds(lengths2, n_sel, k, window, rate_ppm)
         mask = counts >= thr[:, None]
         cand = mask[:half] | mask[half:]                      # (half, Bp)

@@ -90,7 +90,7 @@ def build_mesh_dream_step(mesh: Mesh, *, half_loc: int, L: int, B: int,
                           k: int = 0, n_hashes: int = 0, window: int = 0,
                           use_filter: bool = True, uniform_len: bool = False,
                           route_override: bool = False,
-                          canonical: bool = False):
+                          canonical: bool = False, blocked: bool = False):
     """Jitted sharded step: (fmset, filter_words, blob[, route_words])
     -> MeshMapOut.
 
@@ -137,12 +137,12 @@ def build_mesh_dream_step(mesh: Mesh, *, half_loc: int, L: int, B: int,
             # half the hash-row gathers, no orientation OR
             counts, n_sel = ibf_bin_counts(filter_words, reads[:half_loc],
                                            lengths, k, n_hashes, window,
-                                           canonical=True)
+                                           canonical=True, blocked=blocked)
             thr = classify_thresholds(lengths, n_sel, k, window, rate_ppm)
             cand = (counts >= thr[:, None])[:, :B]
         elif use_filter:
             counts, n_sel = ibf_bin_counts(filter_words, reads, lengths2, k,
-                                           n_hashes, window)
+                                           n_hashes, window, blocked=blocked)
             cand = routing_from_counts(counts, n_sel, lengths2, k, window,
                                        rate_ppm, half_loc)
             cand = cand[:, :B]

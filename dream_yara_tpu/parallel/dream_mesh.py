@@ -58,8 +58,11 @@ class MeshDreamMapper:
                            and index.filter is not None)
         if self.use_filter:
             # drop all-padding words: every hash-row gather pays per word,
-            # and a B<=32-bin database only ever consults word 0
-            wd_need = max(1, (self.B + 31) // 32)
+            # and a B<=32-bin database only ever consults word 0. Blocked
+            # filters keep their full width (block geometry is built-in).
+            self.blocked = bool(getattr(index.filter, "blocked", 0))
+            wd_need = (index.filter.words.shape[1] if self.blocked
+                       else max(1, (self.B + 31) // 32))
             words = np.asarray(index.filter.words)[:, :wd_need]
             self.filter_words = jax.device_put(
                 jnp.asarray(words),
@@ -72,7 +75,7 @@ class MeshDreamMapper:
         else:
             self.filter_words = jnp.zeros((1, 2), dtype=jnp.uint32)
             self.k = self.n_hashes = self.window = 0
-            self.canonical = False
+            self.canonical = self.blocked = False
         self._steps: dict = {}
 
     POOL_MAX = 1 << 19   # meta row field bound (dist_mapper.META_ROW_BITS)
@@ -112,7 +115,8 @@ class MeshDreamMapper:
                 sample_rate=self.sample_rate, use_pallas=self.use_pallas,
                 k=self.k, n_hashes=self.n_hashes, window=self.window,
                 use_filter=self.use_filter, uniform_len=uniform_len,
-                route_override=route_override, canonical=self.canonical)
+                route_override=route_override, canonical=self.canonical,
+                blocked=self.blocked)
         return self._steps[key]
 
     def map_batch(self, batch: ReadBatch,

@@ -188,8 +188,11 @@ class MultiHostDreamMapper:
             self.filter_type = "kmer_direct"
         if self.filter is not None:
             sh = NamedSharding(self.mesh, P())
-            # drop all-padding words (see dream_mesh: gathers pay per word)
-            wd_need = max(1, (self.B + 31) // 32)
+            # drop all-padding words (see dream_mesh: gathers pay per
+            # word); blocked filters keep their full width
+            self.blocked = bool(getattr(self.filter, "blocked", 0))
+            wd_need = (self.filter.words.shape[1] if self.blocked
+                       else max(1, (self.B + 31) // 32))
             w = np.asarray(self.filter.words)[:, :wd_need]
             self.filter_words = jax.make_array_from_process_local_data(
                 sh, w, w.shape)
@@ -201,7 +204,7 @@ class MultiHostDreamMapper:
             self.filter_words = jax.make_array_from_process_local_data(
                 sh, np.zeros((1, 2), np.uint32), (1, 2))
             self.k = self.n_hashes = self.window = 0
-            self.canonical = False
+            self.canonical = self.blocked = False
         self._steps: dict = {}
         self._bin_mappers: dict = {}
 
@@ -230,7 +233,7 @@ class MultiHostDreamMapper:
                 use_pallas=self.use_pallas, k=self.k,
                 n_hashes=self.n_hashes, window=self.window,
                 use_filter=self.filter is not None,
-                canonical=self.canonical)
+                canonical=self.canonical, blocked=self.blocked)
         return self._steps[key]
 
     def _bin_mapper(self, b: int):

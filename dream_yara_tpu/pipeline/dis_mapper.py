@@ -108,10 +108,12 @@ def classify_reads(index: DreamIndex, batch: ReadBatch, opts: MapperOptions,
     filt = index.filter
     rate_ppm = rate_to_ppm(opts.error_rate)
     # drop all-padding filter words (gathers pay per word; B<=32 bins only
-    # ever consult word 0) and use canonical mode when the filter has it
-    wd_need = max(1, (B + 31) // 32)
-    words = jnp.asarray(np.asarray(filt.words)[:, :wd_need])
+    # ever consult word 0) — except in blocked mode, where trimming would
+    # change the 128-word block geometry the filter was built with
     canonical = bool(getattr(filt, "canonical", 0))
+    blocked = bool(getattr(filt, "blocked", 0))
+    wd_need = filt.words.shape[1] if blocked else max(1, (B + 31) // 32)
+    words = jnp.asarray(np.asarray(filt.words)[:, :wd_need])
     L = batch.max_len
     from ..ops.ibf_query import ibf_classify_packed
     from ..ops.readpack import pack_blob_with_lengths
@@ -126,7 +128,8 @@ def classify_reads(index: DreamIndex, batch: ReadBatch, opts: MapperOptions,
         cw = np.asarray(ibf_classify_packed(
             words, jnp.asarray(blob), half=IBF_READS,
             L=L, k=filt.k, n_hashes=filt.n_hashes, rate_ppm=rate_ppm,
-            window=getattr(filt, "window", 0), canonical=canonical))
+            window=getattr(filt, "window", 0), canonical=canonical,
+            blocked=blocked))
         bits = ((cw[:, :, None] >> shifts) & 1).astype(bool)
         mask[ids] = bits.reshape(IBF_READS, -1)[: len(ids), :B]
     return mask

@@ -108,7 +108,8 @@ def test_dynamic_update(dream_db):
         bins=index.filter.bins, n_rows=index.filter.n_rows,
         n_hashes=index.filter.n_hashes, k=index.filter.k,
         words=index.filter.words.copy(),
-        canonical=index.filter.canonical)  # hash mode must travel with words
+        canonical=index.filter.canonical,  # hash mode must travel with words
+        blocked=index.filter.blocked)
     ibf2.clear_bins([2])
     ibf2.add_kmers(new_g, 2)
     stores2 = list(index.stores); stores2[2] = new_store

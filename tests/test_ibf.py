@@ -165,7 +165,8 @@ def test_minimizer_device_matches_host(rng):
     lens[4] = 50
     got, n_sel = ibf_bin_counts(jnp.asarray(ibf.words), jnp.asarray(reads),
                                 jnp.asarray(lens), k, ibf.n_hashes, window=w,
-                                canonical=bool(ibf.canonical))
+                                canonical=bool(ibf.canonical),
+                                blocked=bool(ibf.blocked))
     got, n_sel = np.asarray(got), np.asarray(n_sel)
     for i in range(5):
         want = ibf.bin_counts(reads[i, : lens[i]])
@@ -183,6 +184,78 @@ def test_minimizer_filter_save_load_roundtrip(rng, tmp_path):
     back = InterleavedBloomFilter.load(tmp_path / "f")
     assert back.window == 21 and back.k == 15
     assert np.array_equal(back.words, ibf.words)
+
+
+@pytest.mark.parametrize("bins", [3, 64])  # Wd=2 (S=64) and Wd=2; 64->Wd=2
+def test_blocked_device_matches_host(rng, bins):
+    """Blocked-layout filters: device counts == host oracle, and the
+    no-false-negative routing property holds (probes are the same
+    base+j*stride sub-rows on both sides)."""
+    import jax.numpy as jnp
+
+    from dream_yara_tpu.ops.ibf_query import ibf_bin_counts
+
+    k = 19
+    ibf = InterleavedBloomFilter.create(bins, size_bits=1 << 22, n_hashes=3,
+                                        k=k)
+    assert ibf.blocked == 1
+    seqs = [random_text(rng, 1500) for _ in range(bins)]
+    for b, s in enumerate(seqs):
+        ibf.add_kmers(s, b)
+    reads = np.full((6, 120), 4, np.int8)
+    lens = np.full(6, 120, np.int32)
+    for i in range(6):
+        src = seqs[i % bins]
+        reads[i, :] = src[i * 30 : i * 30 + 120]
+    reads[5, 60] = 4  # an N in the middle
+    got, n_sel = ibf_bin_counts(jnp.asarray(ibf.words), jnp.asarray(reads),
+                                jnp.asarray(lens), k, ibf.n_hashes,
+                                canonical=bool(ibf.canonical), blocked=True)
+    got = np.asarray(got)
+    for i in range(6):
+        want = ibf.bin_counts(reads[i, : lens[i]])
+        assert np.array_equal(got[i, :bins], want), i
+    # routing: every read passes its source bin's threshold
+    t = ibf.threshold(120, k, errors=3)
+    for i in range(5):
+        assert got[i, i % bins] >= t
+
+
+def test_blocked_vs_classic_same_routing(rng):
+    """Classic and blocked layouts must route planted reads identically
+    (FP sets may differ; true-positive routing may not)."""
+    B, k = 8, 19
+    fa = InterleavedBloomFilter.create(B, size_bits=1 << 22, k=k,
+                                       blocked=False)
+    fb = InterleavedBloomFilter.create(B, size_bits=1 << 22, k=k,
+                                       blocked=True)
+    assert fa.blocked == 0 and fb.blocked == 1
+    seqs = [random_text(rng, 2000) for _ in range(B)]
+    for b, s in enumerate(seqs):
+        fa.add_kmers(s, b)
+        fb.add_kmers(s, b)
+    t = fa.threshold(100, k, errors=3)
+    for b, s in enumerate(seqs):
+        read = s[300:400]
+        assert b in fa.which_bins(read, t)
+        assert b in fb.which_bins(read, t)
+
+
+def test_blocked_filter_save_load_update(rng, tmp_path):
+    ibf = InterleavedBloomFilter.create(4, size_bits=1 << 20, k=15)
+    seqs = [random_text(rng, 400) for _ in range(4)]
+    for b, s in enumerate(seqs):
+        ibf.add_kmers(s, b)
+    ibf.save(tmp_path / "f")
+    back = InterleavedBloomFilter.load(tmp_path / "f")
+    assert back.blocked == ibf.blocked == 1
+    assert np.array_equal(back.words, ibf.words)
+    # dynamic update on a blocked filter: clear + reinsert stays consistent
+    new_g = random_text(rng, 400)
+    back.clear_bins([2])
+    back.add_kmers(new_g, 2)
+    assert back.bin_counts(seqs[2])[2] < 400 - 15 + 1  # old k-mers gone (FP noise ok)
+    assert back.bin_counts(new_g)[2] == 400 - 15 + 1
 
 
 def test_canonical_filter_strand_symmetric(rng):

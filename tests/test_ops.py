@@ -178,7 +178,7 @@ def test_ibf_device_matches_host(rng):
     got, n_sel = ibf_bin_counts(
         jnp.asarray(ibf.words), jnp.asarray(reads),
         jnp.asarray(lens, dtype=jnp.int32), ibf.k, ibf.n_hashes,
-        canonical=bool(ibf.canonical))
+        canonical=bool(ibf.canonical), blocked=bool(ibf.blocked))
     got = np.asarray(got)
     for i in range(6):
         want = ibf.bin_counts(reads[i, : lens[i]])

@@ -22,7 +22,7 @@ def main():
     from dream_yara_tpu.index.fmindex import FMIndex
 
     rng = np.random.default_rng(1)
-    text = rng.integers(0, 4, n).astype(np.int8)
+    text = rng.integers(0, 4, n, dtype=np.int8)  # int8 draw: no 8n temp
     text[-1] = 5  # sentinel-terminated (SeqStore convention)
     t0 = time.time()
     fm = FMIndex.build(text, sample_rate=8)
