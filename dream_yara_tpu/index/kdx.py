@@ -25,6 +25,9 @@ class DirectKmerFilter:
 
     # interface parity with InterleavedBloomFilter
     n_hashes: int = 1
+    # marker for the device classify path: rows are the RAW packed k-mer
+    # value (identity addressing), not fmix-hashed (ops/ibf_query.py)
+    direct = 1
 
     @property
     def n_rows(self) -> int:

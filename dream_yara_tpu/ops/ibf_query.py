@@ -184,7 +184,8 @@ def _count_rows(filter_words, rows_by_hash, lanes_valid):
 def ibf_bin_counts(filter_words: jnp.ndarray, reads: jnp.ndarray,
                    lengths: jnp.ndarray, k: int, n_hashes: int,
                    window: int = 0, canonical: bool = False,
-                   blocked: bool = False) -> tuple[jnp.ndarray, jnp.ndarray]:
+                   blocked: bool = False,
+                   direct: bool = False) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Per-bin (selected-)k-mer hit counts for each read row.
 
     filter_words: (n_rows, Wd) uint32; reads: (R, L) int8. Returns
@@ -221,6 +222,12 @@ def ibf_bin_counts(filter_words: jnp.ndarray, reads: jnp.ndarray,
     if blocked:
         counts = _count_rows_blocked(filter_words, mixf, valid, n_hashes)
         return counts.reshape(R, -1), n_sel
+    if direct:
+        # direct-addressing filter (index/kdx.py): the row IS the packed
+        # k-mer value (k <= 13 so lo == mix fits the table); no hashing
+        rows_by_hash = [mixf.astype(jnp.int32)]
+        counts = _count_rows(filter_words, rows_by_hash, valid)
+        return counts.reshape(R, -1), n_sel
     rows_by_hash = []
     for j in range(n_hashes):
         vj = _fmix32(mixf ^ jnp.uint32(HASH_SEEDS[j]))
@@ -251,11 +258,12 @@ def ibf_candidates(filter_words, reads, lengths, k, n_hashes, thresholds,
 
 @functools.partial(jax.jit,
                    static_argnames=("half", "L", "k", "n_hashes", "rate_ppm",
-                                    "window", "canonical", "blocked"))
+                                    "window", "canonical", "blocked",
+                                    "direct"))
 def ibf_classify_packed(filter_words, blob, *, half: int, L: int,
                         k: int, n_hashes: int, rate_ppm: int,
                         window: int = 0, canonical: bool = False,
-                        blocked: bool = False):
+                        blocked: bool = False, direct: bool = False):
     """Whole-batch classification from packed uploads: unpack fwd+rc rows on
     device, count (selected) k-mers per bin, threshold, OR the two
     orientations, and bit-pack the (reads, bins) candidate mask so the
@@ -275,7 +283,8 @@ def ibf_classify_packed(filter_words, blob, *, half: int, L: int,
     else:
         lengths2 = jnp.concatenate([lengths, lengths])
         counts, n_sel = ibf_bin_counts(filter_words, reads, lengths2, k,
-                                       n_hashes, window, blocked=blocked)
+                                       n_hashes, window, blocked=blocked,
+                                       direct=direct)
         thr = classify_thresholds(lengths2, n_sel, k, window, rate_ppm)
         mask = counts >= thr[:, None]
         cand = mask[:half] | mask[half:]                      # (half, Bp)

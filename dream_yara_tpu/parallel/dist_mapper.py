@@ -90,7 +90,8 @@ def build_mesh_dream_step(mesh: Mesh, *, half_loc: int, L: int, B: int,
                           k: int = 0, n_hashes: int = 0, window: int = 0,
                           use_filter: bool = True, uniform_len: bool = False,
                           route_override: bool = False,
-                          canonical: bool = False, blocked: bool = False):
+                          canonical: bool = False, blocked: bool = False,
+                          direct: bool = False):
     """Jitted sharded step: (fmset, filter_words, blob[, route_words])
     -> MeshMapOut.
 
@@ -142,7 +143,8 @@ def build_mesh_dream_step(mesh: Mesh, *, half_loc: int, L: int, B: int,
             cand = (counts >= thr[:, None])[:, :B]
         elif use_filter:
             counts, n_sel = ibf_bin_counts(filter_words, reads, lengths2, k,
-                                           n_hashes, window, blocked=blocked)
+                                           n_hashes, window, blocked=blocked,
+                                           direct=direct)
             cand = routing_from_counts(counts, n_sel, lengths2, k, window,
                                        rate_ppm, half_loc)
             cand = cand[:, :B]

@@ -72,10 +72,11 @@ class MeshDreamMapper:
             self.n_hashes = index.filter.n_hashes
             self.window = getattr(index.filter, "window", 0)
             self.canonical = bool(getattr(index.filter, "canonical", 0))
+            self.direct = bool(getattr(index.filter, "direct", 0))
         else:
             self.filter_words = jnp.zeros((1, 2), dtype=jnp.uint32)
             self.k = self.n_hashes = self.window = 0
-            self.canonical = self.blocked = False
+            self.canonical = self.blocked = self.direct = False
         self._steps: dict = {}
 
     POOL_MAX = 1 << 19   # meta row field bound (dist_mapper.META_ROW_BITS)
@@ -116,7 +117,7 @@ class MeshDreamMapper:
                 k=self.k, n_hashes=self.n_hashes, window=self.window,
                 use_filter=self.use_filter, uniform_len=uniform_len,
                 route_override=route_override, canonical=self.canonical,
-                blocked=self.blocked)
+                blocked=self.blocked, direct=self.direct)
         return self._steps[key]
 
     def map_batch(self, batch: ReadBatch,

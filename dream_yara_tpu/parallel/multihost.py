@@ -199,12 +199,13 @@ class MultiHostDreamMapper:
             self.k, self.n_hashes = self.filter.k, self.filter.n_hashes
             self.window = getattr(self.filter, "window", 0)
             self.canonical = bool(getattr(self.filter, "canonical", 0))
+            self.direct = bool(getattr(self.filter, "direct", 0))
         else:
             sh = NamedSharding(self.mesh, P())
             self.filter_words = jax.make_array_from_process_local_data(
                 sh, np.zeros((1, 2), np.uint32), (1, 2))
             self.k = self.n_hashes = self.window = 0
-            self.canonical = self.blocked = False
+            self.canonical = self.blocked = self.direct = False
         self._steps: dict = {}
         self._bin_mappers: dict = {}
 
@@ -233,7 +234,8 @@ class MultiHostDreamMapper:
                 use_pallas=self.use_pallas, k=self.k,
                 n_hashes=self.n_hashes, window=self.window,
                 use_filter=self.filter is not None,
-                canonical=self.canonical, blocked=self.blocked)
+                canonical=self.canonical, blocked=self.blocked,
+                direct=self.direct)
         return self._steps[key]
 
     def _bin_mapper(self, b: int):

@@ -129,7 +129,7 @@ def classify_reads(index: DreamIndex, batch: ReadBatch, opts: MapperOptions,
             words, jnp.asarray(blob), half=IBF_READS,
             L=L, k=filt.k, n_hashes=filt.n_hashes, rate_ppm=rate_ppm,
             window=getattr(filt, "window", 0), canonical=canonical,
-            blocked=blocked))
+            blocked=blocked, direct=bool(getattr(filt, "direct", 0))))
         bits = ((cw[:, :, None] >> shifts) & 1).astype(bool)
         mask[ids] = bits.reshape(IBF_READS, -1)[: len(ids), :B]
     return mask

@@ -186,6 +186,29 @@ def test_minimizer_filter_save_load_roundtrip(rng, tmp_path):
     assert np.array_equal(back.words, ibf.words)
 
 
+def test_kdx_device_matches_host(rng):
+    """Direct-addressing filter on DEVICE: rows are the raw packed k-mer
+    (identity), not fmix-hashed — regression for the classify path that
+    hashed kdx rows and returned all-zero counts (every read unrouted)."""
+    import jax.numpy as jnp
+
+    from dream_yara_tpu.ops.ibf_query import ibf_bin_counts
+
+    kdx = DirectKmerFilter.create(3, k=10)
+    seqs = [random_text(rng, 800) for _ in range(3)]
+    for b, s in enumerate(seqs):
+        kdx.add_kmers(s, b)
+    reads = np.stack([s[100:200] for s in seqs]).astype(np.int8)
+    lens = np.full(3, 100, np.int32)
+    got = np.asarray(ibf_bin_counts(
+        jnp.asarray(kdx.words), jnp.asarray(reads), jnp.asarray(lens),
+        kdx.k, kdx.n_hashes, direct=True)[0])
+    for i in range(3):
+        want = kdx.bin_counts(reads[i])
+        assert np.array_equal(got[i, :3], want), i
+        assert got[i, i] == 100 - 10 + 1
+
+
 @pytest.mark.parametrize("bins", [3, 64])  # Wd=2 (S=64) and Wd=2; 64->Wd=2
 def test_blocked_device_matches_host(rng, bins):
     """Blocked-layout filters: device counts == host oracle, and the
