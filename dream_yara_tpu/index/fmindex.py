@@ -98,9 +98,11 @@ class FMIndex:
         occ = np.zeros((n_blocks + 1, SIGMA), dtype=np.int32)
         np.cumsum(per_block, axis=0, out=occ[1:])
 
-        sym_counts = np.bincount(text.astype(np.int64), minlength=SIGMA)
+        # C table from the occ totals: the BWT is a permutation of the text,
+        # so per-symbol text counts == occ[n_blocks] (the bincount one-liner
+        # cast text to int64 — an 8n-byte spike that DOMINATED build RSS)
         counts = np.zeros(SIGMA + 1, dtype=np.int32)
-        np.cumsum(sym_counts, out=counts[1:])
+        np.cumsum(occ[n_blocks], out=counts[1:])
 
         fm = cls(n=n, bwt_blocks=bwt_blocks, occ=occ, counts=counts,
                  sa=sa, sample_rate=1)
