@@ -52,10 +52,12 @@ def main():
                                   [st.text for st in index.stores])
     prefix_q = fmset.prefix_q
     filt = index.filter
-    wd_need = max(1, (B + 31) // 32)
+    wd_need = (filt.words.shape[1] if getattr(filt, "blocked", 0)
+               else max(1, (B + 31) // 32))
     fw = jnp.asarray(np.asarray(filt.words)[:, :wd_need])
     k, nh, w = filt.k, filt.n_hashes, getattr(filt, "window", 0)
     canonical = bool(getattr(filt, "canonical", 0))
+    blocked = bool(getattr(filt, "blocked", 0))
 
     half = n
     t_cap = max(256, 5 * half // 4)
@@ -63,7 +65,7 @@ def main():
                                               half, L))
     print(f"[pfs] n={n} L={L} max_err={max_err} t_cap={t_cap} "
           f"uniform={uniform} prefix_q={prefix_q} canonical={canonical} "
-          f"Wd={fw.shape[1]}", file=sys.stderr)
+          f"blocked={blocked} Wd={fw.shape[1]}", file=sys.stderr)
 
     from dream_yara_tpu.ops.ibf_query import classify_thresholds
 
@@ -72,12 +74,14 @@ def main():
         reads = unpack_reads(packed, nmask, lengths, L)
         if canonical:
             counts, n_sel = ibf_bin_counts(fw_, reads[:half], lengths, k,
-                                           nh, w, canonical=True)
+                                           nh, w, canonical=True,
+                                           blocked=blocked)
             thr = classify_thresholds(lengths, n_sel, k, w, rate_ppm)
             cand = (counts >= thr[:, None])[:, :B]
         else:
             lengths2 = jnp.concatenate([lengths, lengths])
-            counts, n_sel = ibf_bin_counts(fw_, reads, lengths2, k, nh, w)
+            counts, n_sel = ibf_bin_counts(fw_, reads, lengths2, k, nh, w,
+                                           blocked=blocked)
             cand = routing_from_counts(counts, n_sel, lengths2, k, w,
                                        rate_ppm, half)[:, :B]
         return reads, lengths, cand
