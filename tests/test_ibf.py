@@ -186,6 +186,23 @@ def test_minimizer_filter_save_load_roundtrip(rng, tmp_path):
     assert np.array_equal(back.words, ibf.words)
 
 
+def test_blocked_rows_distinct_in_block(rng):
+    """ibf_blocked_rows: all n_hashes probes of a k-mer land in ONE block
+    and are pairwise distinct (odd stride mod power-of-two S)."""
+    from dream_yara_tpu.index.hashing import BLOCK_WORDS, ibf_blocked_rows
+
+    for wd, n_rows in [(1, 1 << 16), (2, 1 << 16), (8, 1 << 12)]:
+        S = BLOCK_WORDS // wd
+        lo = rng.integers(0, 1 << 32, 5000, dtype=np.uint32)
+        hi = rng.integers(0, 8, 5000, dtype=np.uint32)
+        rows = ibf_blocked_rows(lo, hi, 3, n_rows, wd)
+        assert rows.min() >= 0 and rows.max() < n_rows
+        blk = rows // S
+        assert (blk == blk[:, :1]).all()          # same block per k-mer
+        assert (np.sort(rows, axis=1)[:, 1:]
+                != np.sort(rows, axis=1)[:, :-1]).all()  # distinct probes
+
+
 def test_kdx_device_matches_host(rng):
     """Direct-addressing filter on DEVICE: rows are the raw packed k-mer
     (identity), not fmix-hashed — regression for the classify path that
