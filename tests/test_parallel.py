@@ -184,6 +184,12 @@ def test_mesh_seed_overflow_fallback():
         mapper = MeshDreamMapper(index, opts, n_devices=8)
         sam = mesh_dream_sam(mapper, batch)
         assert sam == ref, f"sensitivity={sens}"
+        if sens == "full":
+            # the tandem read's ~40 distinct anchors exceed the verify-lane
+            # budget (compact_cap ~ 2/row): the spill fallback MUST fire —
+            # this is the coverage for MapStepOut.n_spilled handling
+            assert mapper.fallback_diag["spill_bins"] > 0, \
+                mapper.fallback_diag
 
 
 def test_mesh_sampled_sa_identical():
