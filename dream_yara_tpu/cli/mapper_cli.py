@@ -30,6 +30,8 @@ def main(argv=None):
     p.add_argument("-s", "--strata-count", type=int, default=0)
     p.add_argument("-y", "--sensitivity", default="high",
                    choices=["low", "high", "full"])
+    p.add_argument("-rg", "--read-group", default="",
+                   help="@RG ID; per-record RG:Z tag when set")
     p.add_argument("-sm", "--secondary-matches", default="tag",
                    choices=["tag", "record", "omit"])
     p.add_argument("-i", "--indels", default="on", choices=["on", "off"])
@@ -90,7 +92,7 @@ def main(argv=None):
         library_deviation=a.library_deviation, rescue=not a.no_rescue,
         threads=a.threads, reads_batch=a.reads_batch,
         filter_type=a.filter_type, output_file=a.output_file,
-        verbose=a.verbose)
+        read_group=a.read_group, verbose=a.verbose)
 
     t0 = time.time()
     timers = StageTimers()
@@ -141,7 +143,9 @@ def main(argv=None):
             cmdline = " ".join(argv if argv is not None else sys.argv[1:])
             text = drive_sharded_stream(
                 reader, a.output_shards,
-                "\n".join(sam_header(index.contigs, cmdline)) + "\n",
+                "\n".join(sam_header(index.contigs, cmdline,
+                                      read_group=opts.read_group or None))
+                + "\n",
                 lambda bs: (mesh_dream_sam(mm, b, timers=timers, header=False,
                                            stats=stats) for b in bs),
                 a.output_file)
@@ -181,7 +185,9 @@ def main(argv=None):
 
         text = drive_sharded_stream(
             reader, a.output_shards,
-            "\n".join(sam_header(index.contigs, cmdline)) + "\n",
+            "\n".join(sam_header(index.contigs, cmdline,
+                                      read_group=opts.read_group or None))
+                + "\n",
             lambda bs: dream_map_stream(index, bs, opts, cmdline=cmdline,
                                         timers=timers, stats=stats,
                                         header=False),

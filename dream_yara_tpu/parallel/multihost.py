@@ -381,14 +381,21 @@ class MultiHostDreamMapper:
                                          opts.library_deviation)
             if jax.process_index() != 0:
                 return None
-            head = ("\n".join(sam_header(self.contigs, cmdline)) + "\n"
+            head = ("\n".join(sam_header(self.contigs, cmdline,
+                                          read_group=(self.opts.read_group
+                                                      or None))) + "\n"
                     if header else "")
             if batch.paired:
-                body = write_pe_records(batch, self.contigs, ranked, cigars,
-                                        pair_info,
+                body = write_pe_records(batch, self.contigs, ranked,
+                                        cigars, pair_info,
+                                        read_group=(self.opts.read_group
+                                                    or None),
                                         secondary_mode=opts.secondary_matches)
             else:
-                body = write_se_records(batch, self.contigs, ranked, cigars,
+                body = write_se_records(batch, self.contigs, ranked,
+                                        cigars,
+                                        read_group=(self.opts.read_group
+                                                    or None),
                                         secondary_mode=opts.secondary_matches)
         if stats is not None:
             stats["reads"] = stats.get("reads", 0) + batch.n_reads

@@ -333,14 +333,17 @@ def _finish_batch(index: DreamIndex, batch: ReadBatch, m: Matches,
                                      opts.library_length,
                                      opts.library_deviation)
     with timers.stage("sam write (host)"):
-        head = ("\n".join(sam_header(index.contigs, cmdline)) + "\n"
+        head = ("\n".join(sam_header(index.contigs, cmdline,
+                                      read_group=opts.read_group or None)) + "\n"
                 if header else "")
         if batch.paired:
             body = write_pe_records(batch, index.contigs, ranked, cigars,
                                     pair_info,
+                                    read_group=opts.read_group or None,
                                     secondary_mode=opts.secondary_matches)
         else:
             body = write_se_records(batch, index.contigs, ranked, cigars,
+                                    read_group=opts.read_group or None,
                                     secondary_mode=opts.secondary_matches)
 
     if stats is not None:

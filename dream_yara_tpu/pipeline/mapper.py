@@ -325,8 +325,10 @@ def single_bin_sam(store: SeqStore, fm: FMIndex, batch: ReadBatch,
     if batch.paired:
         return paired_bin_sam(store, fm, batch, opts, cmdline)
     ranked, cigars, contigs = map_single_bin(store, fm, batch, opts)
-    return ("\n".join(sam_header(contigs, cmdline)) + "\n"
+    return ("\n".join(sam_header(contigs, cmdline,
+                                  read_group=opts.read_group or None)) + "\n"
             + write_se_records(batch, contigs, ranked, cigars,
+                               read_group=opts.read_group or None,
                                secondary_mode=opts.secondary_matches))
 
 
@@ -403,6 +405,8 @@ def paired_bin_sam(store: SeqStore, fm: FMIndex, batch: ReadBatch,
     from .writer import write_pe_records
 
     ranked, cigars, contigs, pair_info = map_paired_bin(store, fm, batch, opts)
-    return ("\n".join(sam_header(contigs, cmdline)) + "\n"
+    return ("\n".join(sam_header(contigs, cmdline,
+                                  read_group=opts.read_group or None)) + "\n"
             + write_pe_records(batch, contigs, ranked, cigars, pair_info,
+                               read_group=opts.read_group or None,
                                secondary_mode=opts.secondary_matches))

@@ -69,10 +69,13 @@ class GlobalContigs:
         return cid, gpos - self.starts[cid]
 
 
-def sam_header(contigs: GlobalContigs, cmdline: str = "", version: str = "0.1.0") -> list[str]:
+def sam_header(contigs: GlobalContigs, cmdline: str = "", version: str = "0.1.0",
+               read_group: str | None = None) -> list[str]:
     lines = ["@HD\tVN:1.6\tSO:unsorted"]
     for name, length in zip(contigs.names, contigs.lengths):
         lines.append(f"@SQ\tSN:{name}\tLN:{int(length)}")
+    if read_group:
+        lines.append(f"@RG\tID:{read_group}\tSM:{read_group}")
     pg = f"@PG\tID:dream-yara-tpu\tPN:dream-yara-tpu\tVN:{version}"
     if cmdline:
         pg += f"\tCL:{cmdline}"
@@ -97,7 +100,8 @@ def _pack_cigars(samfmt, cigars, idx, use):
 
 
 def _write_se_native(batch: ReadBatch, contigs: GlobalContigs, ranked,
-                     cigars: list[str], secondary_mode: str, samfmt) -> str:
+                     cigars: list[str], secondary_mode: str, samfmt,
+                     read_group: str | None = None) -> str:
     """Vectorized field prep + C++ byte assembly (same output as the Python
     loop below, asserted by tests)."""
     from .mapq import compute_mapq
@@ -133,7 +137,8 @@ def _write_se_native(batch: ReadBatch, contigs: GlobalContigs, ranked,
     quals_b, qual_off = samfmt.pack_strs(batch.quals)
     qual_rev = strand.astype(np.uint8)
 
-    extras = [b""] * n
+    rg_tag = (("\tRG:Z:" + read_group).encode() if read_group else b"")
+    extras = [rg_tag] * n
     if secondary_mode == "tag":
         for rid in np.flatnonzero(mapped & (grp_end - grp_start > 1)):
             s, e = int(grp_start[rid]), int(grp_end[rid])
@@ -142,7 +147,7 @@ def _write_se_native(batch: ReadBatch, contigs: GlobalContigs, ranked,
                 st = "-" if m.strand[mj] else "+"
                 alts.append(f"{contigs.names[int(cid_all[mj])]},{st}"
                             f"{int(lpos_all[mj]) + 1},{cigars[mj]},{int(m.dist[mj])}")
-            extras[rid] = ("\tXA:Z:" + ";".join(alts) + ";").encode()
+            extras[rid] = rg_tag + ("\tXA:Z:" + ";".join(alts) + ";").encode()
     extra_b, extra_off = samfmt.pack_strs(extras)
     cnames_b, cname_off = samfmt.pack_strs([s.encode() for s in contigs.names])
 
@@ -166,7 +171,7 @@ def _write_se_native(batch: ReadBatch, contigs: GlobalContigs, ranked,
         quals_b, qual_off = samfmt.pack_strs(
             [b"" if is_sec[i] else batch.quals[r]
              for i, r in enumerate(rec_read)])
-        extra_b, extra_off = samfmt.pack_strs([b""] * len(rec_read))
+        extra_b, extra_off = samfmt.pack_strs([rg_tag] * len(rec_read))
         has_nm = np.where(is_sec, 1, mapped[rec_read]).astype(np.uint8)
         text = samfmt.format_records(
             names_b, name_off, rec["flag"], rec["rname"], rec["pos1"],
@@ -233,7 +238,7 @@ def _expand_secondary(n, mapped, grp_start, grp_end, prim, sec_flag_base,
 
 def _write_pe_native(batch: ReadBatch, contigs: GlobalContigs, ranked,
                      cigars: list[str], pair_info, secondary_mode: str,
-                     samfmt) -> str:
+                     samfmt, read_group: str | None = None) -> str:
     """Vectorized PE field prep + C++ byte assembly (mirrors the Python
     write_pe_records loop exactly; tested equal)."""
     from .mapq import compute_mapq
@@ -300,7 +305,8 @@ def _write_pe_native(batch: ReadBatch, contigs: GlobalContigs, ranked,
 
     grp_start = np.searchsorted(m.read_id, ids, side="left")
     grp_end = np.searchsorted(m.read_id, ids, side="right")
-    extras = [b""] * n
+    rg_tag = (("\tRG:Z:" + read_group).encode() if read_group else b"")
+    extras = [rg_tag] * n
     if secondary_mode == "tag":
         for rid in np.flatnonzero(mapped & (grp_end - grp_start > 1)):
             s, e = int(grp_start[rid]), int(grp_end[rid])
@@ -311,7 +317,7 @@ def _write_pe_native(batch: ReadBatch, contigs: GlobalContigs, ranked,
                 st = "-" if m.strand[mj] else "+"
                 alts.append(f"{contigs.names[int(cid_all[mj])]},{st}"
                             f"{int(lpos_all[mj]) + 1},{cigars[mj]},{int(m.dist[mj])}")
-            extras[rid] = ("\tXA:Z:" + ";".join(alts) + ";").encode()
+            extras[rid] = rg_tag + ("\tXA:Z:" + ";".join(alts) + ";").encode()
     extra_b, extra_off = samfmt.pack_strs(extras)
     cnames_b, cname_off = samfmt.pack_strs([s.encode() for s in contigs.names])
 
@@ -336,7 +342,7 @@ def _write_pe_native(batch: ReadBatch, contigs: GlobalContigs, ranked,
         quals_b, qual_off = samfmt.pack_strs(
             [b"" if is_sec[i] else batch.quals[r]
              for i, r in enumerate(rec_read)])
-        extra_b, extra_off = samfmt.pack_strs([b""] * len(rec_read))
+        extra_b, extra_off = samfmt.pack_strs([rg_tag] * len(rec_read))
         has_nm = np.where(is_sec, 1, mapped[rec_read]).astype(np.uint8)
         text = samfmt.format_records(
             names_b, name_off, rec["flag"], rec["rname"], rec["pos1"],
@@ -366,7 +372,8 @@ def _seq_qual(batch: ReadBatch, read_id: int, strand: int) -> tuple[str, str]:
 
 def write_pe_records(batch: ReadBatch, contigs: GlobalContigs, ranked,
                      cigars: list[str], pair_info,
-                     secondary_mode: str = "tag") -> str:
+                     secondary_mode: str = "tag",
+                     read_group: str | None = None) -> str:
     """Paired-end records. Reads [0,h) are first mates, [h,2h) second mates.
 
     TLEN (both mates mapped, same contig): rightmost end - leftmost begin,
@@ -383,7 +390,8 @@ def write_pe_records(batch: ReadBatch, contigs: GlobalContigs, ranked,
 
         if samfmt.available():
             return _write_pe_native(batch, contigs, ranked, cigars,
-                                    pair_info, secondary_mode, samfmt)
+                                    pair_info, secondary_mode, samfmt,
+                                    read_group)
     except ImportError:
         pass
 
@@ -423,14 +431,15 @@ def write_pe_records(batch: ReadBatch, contigs: GlobalContigs, ranked,
         if mate_mapped:
             mate_cid = int(cid_all[mate_p])
             mate_pos1 = int(lpos_all[mate_p]) + 1
+        rg = f"\tRG:Z:{read_group}" if read_group else ""
         if not mapped:
             seq, qual = _seq_qual(batch, rid, 0)
             if mate_mapped:
                 rname = contigs.names[mate_cid]
                 lines.append(f"{name}\t{flag}\t{rname}\t{mate_pos1}\t0\t*"
-                             f"\t=\t{mate_pos1}\t0\t{seq}\t{qual}")
+                             f"\t=\t{mate_pos1}\t0\t{seq}\t{qual}{rg}")
             else:
-                lines.append(f"{name}\t{flag}\t*\t0\t0\t*\t*\t0\t0\t{seq}\t{qual}")
+                lines.append(f"{name}\t{flag}\t*\t0\t0\t*\t*\t0\t0\t{seq}\t{qual}{rg}")
             continue
 
         my_cid = int(cid_all[my_p])
@@ -451,6 +460,8 @@ def write_pe_records(batch: ReadBatch, contigs: GlobalContigs, ranked,
         strand = int(m.strand[my_p])
         seq, qual = _seq_qual(batch, rid, strand)
         tags = [f"NM:i:{int(m.dist[my_p])}"]
+        if read_group:
+            tags.append(f"RG:Z:{read_group}")     # native order: NM, RG, XA
         s, e = int(grp_start[rid]), int(grp_end[rid])
         if secondary_mode == "tag" and e - s > 1:
             alts = []
@@ -476,12 +487,14 @@ def write_pe_records(batch: ReadBatch, contigs: GlobalContigs, ranked,
                 cj = int(cid_all[mj])
                 lines.append(f"{name}\t{sflag}\t{contigs.names[cj]}"
                              f"\t{int(lpos_all[mj]) + 1}\t0\t{cigars[mj]}"
-                             f"\t*\t0\t0\t*\t*\tNM:i:{int(m.dist[mj])}")
+                             f"\t*\t0\t0\t*\t*\tNM:i:{int(m.dist[mj])}"
+                             + rg)
     return _join(lines)
 
 
 def write_se_records(batch: ReadBatch, contigs: GlobalContigs, ranked,
-                     cigars: list[str], secondary_mode: str = "tag") -> str:
+                     cigars: list[str], secondary_mode: str = "tag",
+                     read_group: str | None = None) -> str:
     """Single-end records, one primary per read (+ secondaries per mode).
 
     ranked: pipeline.matches.Ranked (canonical order); cigars aligned with
@@ -495,14 +508,16 @@ def write_se_records(batch: ReadBatch, contigs: GlobalContigs, ranked,
 
         if samfmt.available():
             return _write_se_native(batch, contigs, ranked, cigars,
-                                    secondary_mode, samfmt)
+                                    secondary_mode, samfmt, read_group)
     except ImportError:
         pass
-    return _write_se_python(batch, contigs, ranked, cigars, secondary_mode)
+    return _write_se_python(batch, contigs, ranked, cigars, secondary_mode,
+                            read_group)
 
 
 def _write_se_python(batch: ReadBatch, contigs: GlobalContigs, ranked,
-                     cigars: list[str], secondary_mode: str = "tag") -> str:
+                     cigars: list[str], secondary_mode: str = "tag",
+                     read_group: str | None = None) -> str:
     from .mapq import compute_mapq
 
     m = ranked.matches
@@ -517,9 +532,10 @@ def _write_se_python(batch: ReadBatch, contigs: GlobalContigs, ranked,
     for rid in range(batch.n_reads):
         name = batch.names[rid]
         s, e = int(grp_start[rid]), int(grp_end[rid])
+        rg = f"\tRG:Z:{read_group}" if read_group else ""
         if s == e:  # unmapped
             seq, qual = _seq_qual(batch, rid, 0)
-            lines.append(f"{name}\t{FLAG_UNMAPPED}\t*\t0\t0\t*\t*\t0\t0\t{seq}\t{qual}")
+            lines.append(f"{name}\t{FLAG_UNMAPPED}\t*\t0\t0\t*\t*\t0\t0\t{seq}\t{qual}{rg}")
             continue
         for k, mi in enumerate(range(s, e)):
             strand = int(m.strand[mi])
@@ -531,6 +547,8 @@ def _write_se_python(batch: ReadBatch, contigs: GlobalContigs, ranked,
             q = int(mapq[rid]) if k == 0 else 0
             seq, qual = ("*", "*") if k > 0 else _seq_qual(batch, rid, strand)
             tags = [f"NM:i:{int(m.dist[mi])}"]
+            if read_group:
+                tags.append(f"RG:Z:{read_group}")   # native order: NM, RG, XA
             if k == 0 and secondary_mode == "tag" and e - s > 1:
                 alts = []
                 for mj in range(s + 1, e):

@@ -18,6 +18,7 @@ class MapperOptions:
     sensitivity: str = "high"         # -y  : low|high|full — seeding schedule
     indels: bool = True               # -i  : allow indels (off => Hamming only)
     secondary_matches: str = "tag"    # -sm : tag|record|omit — how co-optimal matches are reported
+    read_group: str = ""              # -rg : @RG ID + per-record RG:Z tag [U,M]
     library_length: int = 200         # -ll : PE expected insert size
     library_deviation: int = 100      # -ld : PE insert size deviation
     rescue: bool = True               # mate rescue on/off

@@ -134,6 +134,14 @@ def test_native_sam_formatter_matches_python(rng):
         want = _write_se_python(batch, contigs, ranked, cigars, mode)
         got = write_se_records(batch, contigs, ranked, cigars, mode)
         assert got == want, mode
+    # read-group: both engines emit identical RG:Z tags (order NM, RG, XA)
+    for mode in ("tag", "record"):
+        want = _write_se_python(batch, contigs, ranked, cigars, mode,
+                                read_group="lib1")
+        got = write_se_records(batch, contigs, ranked, cigars, mode,
+                               read_group="lib1")
+        assert got == want, f"rg/{mode}"
+        assert "\tRG:Z:lib1" in got
 
 
 def test_native_pe_formatter_matches_python(rng):
@@ -184,6 +192,19 @@ def test_native_pe_formatter_matches_python(rng):
             sf.available = orig
         got = write_pe_records(batch, contigs, ranked, cigars, pi, mode)
         assert got == want, mode
+    # read-group parity on the PE engines (covers mate-unmapped rows too)
+    import dream_yara_tpu.native.samfmt as sf
+    orig = sf.available
+    sf.available = lambda: False
+    try:
+        want = write_pe_records(batch, contigs, ranked, cigars, pi, "tag",
+                                read_group="run7")
+    finally:
+        sf.available = orig
+    got = write_pe_records(batch, contigs, ranked, cigars, pi, "tag",
+                           read_group="run7")
+    assert got == want
+    assert "\tRG:Z:run7" in got
 
 
 def test_native_formatter_long_contig_names(rng):
