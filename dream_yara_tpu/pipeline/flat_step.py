@@ -45,8 +45,10 @@ def slot_pool(cand_local: jnp.ndarray, t_cap: int):
     is deterministic, so the host reconstructs slot assignment exactly).
     """
     n_loc, B_loc = cand_local.shape
+    from .map_step import flat_cumsum
+
     flat = cand_local.T.reshape(-1)                 # bin-major
-    pos = jnp.cumsum(flat.astype(jnp.int32)) - 1
+    pos = flat_cumsum(flat.astype(jnp.int32)) - 1
     total = jnp.where(flat.shape[0] > 0, pos[-1] + 1, 0)
     dst = jnp.where(flat & (pos < t_cap), pos, t_cap)
     src = jnp.zeros(t_cap + 1, jnp.int32).at[dst].set(

@@ -315,6 +315,26 @@ def pairwise_dedup(A, V):
     return V & ~dup
 
 
+def flat_cumsum(x: jnp.ndarray) -> jnp.ndarray:
+    """Hierarchical 1-D int cumsum: 2-D row-wise prefix + row offsets.
+
+    A flat 25M-element jnp.cumsum measured 6.2 ms vs 2.5 ms for this
+    shape on the v5e (tools/proto_cumsum_cost.py) — 1-D arrays tile as
+    (1, n) with mostly-empty sublanes, so log-shift passes touch 8x the
+    bytes. Exact same values as jnp.cumsum.
+    """
+    n = x.shape[0]
+    C = 4096
+    if n <= 2 * C:
+        return jnp.cumsum(x)
+    M = (n + C - 1) // C
+    x2 = jnp.pad(x, (0, M * C - n)).reshape(M, C)
+    within = jnp.cumsum(x2, axis=1)
+    rows = jnp.concatenate([jnp.zeros(1, x.dtype),
+                            jnp.cumsum(within[:, -1])[:-1]])
+    return (within + rows[:, None]).reshape(-1)[:n]
+
+
 def global_compact(A, V, row_ids, cap2: int):
     """Cross-row compaction of kept lanes into one fixed global budget.
 
@@ -332,7 +352,7 @@ def global_compact(A, V, row_ids, cap2: int):
     keep = V.reshape(-1)
     rowv = jnp.repeat(row_ids, slots)
     anch = jnp.where(V, A, 0).reshape(-1)
-    pos = jnp.cumsum(keep.astype(jnp.int32)) - 1
+    pos = flat_cumsum(keep.astype(jnp.int32)) - 1
     total = jnp.where(keep.shape[0] > 0, pos[-1] + 1, 0)
     dst = jnp.where(keep & (pos < cap2), pos, cap2)     # spills -> dump slot
     # ONE 2-column scatter (scatters cost per index: two separate (lanes,)
