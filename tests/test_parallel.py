@@ -192,6 +192,32 @@ def test_mesh_seed_overflow_fallback():
                 mapper.fallback_diag
 
 
+def test_mesh_kmer_direct_identical():
+    """kmer_direct prefilter through the mesh pipeline: identity-addressed
+    device classify (regression: fmix-hashed kdx rows routed nothing)."""
+    from dream_yara_tpu.index.kdx import DirectKmerFilter
+
+    rng = np.random.default_rng(23)
+    B = 4
+    genomes = [random_text(rng, 4000) for _ in range(B)]
+    stores = [SeqStore.from_seqs([f"g{b}"], [genomes[b]]) for b in range(B)]
+    fms = [FMIndex.build(st.text) for st in stores]
+    kdx = DirectKmerFilter.create(B, k=12)
+    for b, g in enumerate(genomes):
+        kdx.add_kmers(g, b)
+    index = DreamIndex(stores, fms, kdx, "kmer_direct")
+    batch, _ = _planted(rng, genomes, n_per_bin=4)
+    opts = MapperOptions(error_rate=0.03)
+    ref = dream_map_sam(index, batch, opts)
+    mapper = MeshDreamMapper(index, opts, n_devices=8)
+    assert mapper.use_filter and mapper.direct
+    assert mesh_dream_sam(mapper, batch) == ref
+    n_mapped = sum(1 for l in ref.splitlines()
+                   if l and not l.startswith("@")
+                   and int(l.split("\t")[1]) & 4 == 0)
+    assert n_mapped == batch.n_reads
+
+
 def test_mesh_sampled_sa_identical():
     """sample_rate > 1 bins through the flat mesh step (fused-row LF-walk
     locate) must match the single-device pipeline byte-for-byte."""
