@@ -90,35 +90,38 @@ def _dp_kernel(wexp_ref, rT_ref, anch_ref, len_ref,
     end_ref[0, :] = bend
 
 
-@functools.partial(jax.jit, static_argnames=("max_err", "interpret"))
-def banded_verify_pallas(text, anchors, reads, read_rows, lengths,
-                         *, max_err: int, interpret: bool = False):
-    """Drop-in replacement for ops.verify.banded_verify (same contract)."""
+def banded_verify_pallas_hooked(anchors, reads, read_rows, lengths,
+                                *, max_err: int, tblock_fetch,
+                                interpret: bool = False):
+    """Pallas verify with an injectable text-block fetcher — the multi-bin
+    flat-step edition (pipeline/flat_step.py): `tblock_fetch(brow) -> (C,
+    128)` supplies per-candidate 128-char text rows (e.g. stacked per-bin
+    tables addressed at bin*ntb + brow) and must return mismatch-code rows
+    (>= 4) for out-of-range block indices and padded block tails — the same
+    contract as ops/verify.banded_verify's hook. NOT jitted: call inside the
+    enclosing traced program (a function-valued arg can't cross a jit
+    boundary)."""
     C = anchors.shape[0]
     L = reads.shape[1]
     E = int(max_err)
-    n = text.shape[0]
     W = 2 * E + 1
     Wp = ((W + 7) // 8) * 8
     WLEN = L + 2 * E
 
     # --- gathers in XLA (block rows + log-shift alignment, see ops/verify) ---
     reads_g = jnp.take(reads, read_rows, axis=0)
-    n_wblocks = (WLEN + 127) // 128 + 1
-    nb = (n + 127) // 128
-    padded = jnp.full(128 + (nb + n_wblocks + 1) * 128, 6, dtype=jnp.int8)
-    padded = jax.lax.dynamic_update_slice(padded, text.astype(jnp.int8), (128,))
-    tblocks = padded.reshape(-1, 128)
+    need = WLEN + (Wp - W)
+    n_wblocks = (need + 127) // 128 + 1
     a0 = anchors - E
-    brow = (a0 >> 7) + 1
+    brow = a0 >> 7
     rows2 = jnp.concatenate(
-        [jnp.take(tblocks, brow + i, axis=0) for i in range(n_wblocks)], axis=1)
+        [tblock_fetch(brow + i) for i in range(n_wblocks)], axis=1)
     shift = a0 & 127
     for b in range(7):
         k = 1 << b
         rolled = jnp.concatenate([rows2[:, k:], rows2[:, :k]], axis=1)
         rows2 = jnp.where(((shift >> b) & 1)[:, None] == 1, rolled, rows2)
-    windows = rows2[:, : WLEN + (Wp - W)]        # (C, WLEN + pad)
+    windows = rows2[:, :need]                    # (C, WLEN + pad)
 
     # pad candidates to a TILE multiple
     Cp = ((C + TILE - 1) // TILE) * TILE
@@ -159,3 +162,26 @@ def banded_verify_pallas(text, anchors, reads, read_rows, lengths,
         interpret=interpret,
     )(wexp, rT, anch_p, len_p)
     return dist[0, :C], beg[0, :C], end[0, :C]
+
+
+@functools.partial(jax.jit, static_argnames=("max_err", "interpret"))
+def banded_verify_pallas(text, anchors, reads, read_rows, lengths,
+                         *, max_err: int, interpret: bool = False):
+    """Drop-in replacement for ops.verify.banded_verify (same contract):
+    single-bin local text; builds the guard-padded block table and delegates
+    to the hooked edition."""
+    L = reads.shape[1]
+    E = int(max_err)
+    W = 2 * E + 1
+    Wp = ((W + 7) // 8) * 8
+    need = (L + 2 * E) + (Wp - W)
+    n_wblocks = (need + 127) // 128 + 1
+    n = text.shape[0]
+    nb = (n + 127) // 128
+    padded = jnp.full(128 + (nb + n_wblocks + 1) * 128, 6, dtype=jnp.int8)
+    padded = jax.lax.dynamic_update_slice(padded, text.astype(jnp.int8), (128,))
+    tblocks = padded.reshape(-1, 128)
+    return banded_verify_pallas_hooked(
+        anchors, reads, read_rows, lengths, max_err=max_err,
+        tblock_fetch=lambda r: jnp.take(tblocks, r + 1, axis=0),
+        interpret=interpret)

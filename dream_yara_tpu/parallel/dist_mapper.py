@@ -167,7 +167,7 @@ def build_mesh_dream_step(mesh: Mesh, *, half_loc: int, L: int, B: int,
             half_loc=half_loc, rate_ppm=rate_ppm, max_errors=max_errors,
             capacity=capacity, max_slen=max_slen, prefix_q=prefix_q,
             compact_cap=cap2v, uniform_len=uniform_len,
-            sample_rate=sample_rate)
+            sample_rate=sample_rate, use_pallas=use_pallas)
         meta = (out.row
                 | (jnp.clip(out.dist, 0, 31) << META_DIST_SHIFT)
                 | (out.ok.astype(jnp.int32) << META_OK_SHIFT))

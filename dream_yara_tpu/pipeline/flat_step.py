@@ -62,7 +62,7 @@ def flat_map_step(fmset: DeviceFMSet, reads2: jnp.ndarray, lengths2: jnp.ndarray
                   half_loc: int, rate_ppm: int, max_errors: int,
                   capacity: int, max_slen: int, prefix_q: int,
                   compact_cap: int | None, uniform_len: bool,
-                  sample_rate: int = 1,
+                  sample_rate: int = 1, use_pallas: bool = False,
                   stop_after: str | None = None) -> MapStepOut:
     """Map every slot against its own bin in one fused program.
 
@@ -122,14 +122,14 @@ def flat_map_step(fmset: DeviceFMSet, reads2: jnp.ndarray, lengths2: jnp.ndarray
                       max_errors, capacity, max_slen, compact_cap, prefix_q,
                       uniform_len, hooks, n_seed, counts_fetch, tb_flat, ntb,
                       sample_rate, bin_seed, fused_flat, counts_flat, nb1,
-                      nsig, stop_after)
+                      nsig, use_pallas, stop_after)
 
 
 def _flat_core(fmset, reads, lengths, bin_slot, rate_ppm, max_errors,
                capacity, max_slen, compact_cap, prefix_q, uniform_len,
                hooks, n_seed, counts_fetch, tb_flat, ntb,
                sample_rate, bin_seed, fused_flat, counts_flat, nb1,
-               nsig, stop_after=None) -> MapStepOut:
+               nsig, use_pallas=False, stop_after=None) -> MapStepOut:
     """Mirror of map_step._map_step_core with per-seed bins (full SA only).
 
     stop_after: profiling-only early return ('search' | 'locate' | 'compact')
@@ -235,8 +235,19 @@ def _flat_core(fmset, reads, lengths, bin_slot, rate_ppm, max_errors,
 
     n_reads = lengths.shape[0]
     lrow = jnp.take(lengths, vrow % n_reads).astype(jnp.int32)
-    dist, beg, end = banded_verify(None, vanch, reads, vrow, lrow,
-                                   max_err=max_errors, tblock_fetch=tb_fetch)
+    if use_pallas:
+        # VMEM-resident DP (2-3x the XLA fori_loop, which round-trips the
+        # (W, C) carry through HBM every step); the window fetch stays in
+        # XLA via the same stacked-table hook
+        from ..ops.pallas_verify import banded_verify_pallas_hooked
+
+        dist, beg, end = banded_verify_pallas_hooked(
+            vanch, reads, vrow, lrow, max_err=max_errors,
+            tblock_fetch=tb_fetch)
+    else:
+        dist, beg, end = banded_verify(None, vanch, reads, vrow, lrow,
+                                       max_err=max_errors,
+                                       tblock_fetch=tb_fetch)
     budget = errors_for(lrow, rate_ppm)
     ok = keep & (dist <= budget) & (beg >= 0) & (end <= n_lane)
     return MapStepOut(row=vrow, begin=beg, end=end, dist=dist, ok=ok,
