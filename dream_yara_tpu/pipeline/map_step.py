@@ -29,8 +29,8 @@ class FetchHooks(NamedTuple):
     (parallel/sharded_fm.py, SURVEY.md §5.7). Each replaces the
     corresponding local-HBM gather in the map step; `None` fields keep the
     local path. Sharded mode requires sample_rate == 1 (the SA is sharded
-    instead of sampled) and uses the XLA verifier (the Pallas kernel is
-    per-device-VMEM by design)."""
+    instead of sampled); the Pallas verifier works with hooks too (the
+    hook's gathers run in XLA ahead of the kernel)."""
 
     rank_rows: object = None    # (b:(Q,)int32) -> (Q, 24) fused rank rows
     pfx: object = None          # (m:(S,)int32) -> (S, 2) q-mer intervals
@@ -428,6 +428,14 @@ def verify_candidates(fm: DeviceFM, reads, lengths, vrow, vanch, keep,
 
         dist, beg, end = banded_verify_pallas(
             fm.text, vanch, reads, vrow, lrow, max_err=max_errors)
+    elif use_pallas:
+        # sharded/stacked text: the hook's gathers (incl. any psum over
+        # text shards) run in XLA; only the DP enters the kernel
+        from ..ops.pallas_verify import banded_verify_pallas_hooked
+
+        dist, beg, end = banded_verify_pallas_hooked(
+            vanch, reads, vrow, lrow, max_err=max_errors,
+            tblock_fetch=tblock_fetch)
     else:
         dist, beg, end = banded_verify(fm.text, vanch, reads, vrow, lrow,
                                        max_err=max_errors,
