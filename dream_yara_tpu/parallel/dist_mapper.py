@@ -120,7 +120,13 @@ def build_mesh_dream_step(mesh: Mesh, *, half_loc: int, L: int, B: int,
         "slot pool exceeds the meta row field"
     B_loc = B // bin_ax
     t_cap = r_cap
-    cap2v = 2 * t_cap  # global verify budget: ~1 lane per slot row
+    import os
+
+    # global verify budget: ~1 lane per slot row at the default factor 2.0
+    # (measured spill-free on configs 2/5). DY_CAP2V tightens it for the
+    # verify-cost A/B (docs/ROADMAP.md item 7) — spills drain via the host
+    # fallback, so correctness is unaffected.
+    cap2v = max(1024, int(float(os.environ.get("DY_CAP2V", "2.0")) * t_cap))
     Wb_in = (B + 31) // 32
 
     def local_step(fmset: DeviceFMSet, filter_words, blob, route_in):
