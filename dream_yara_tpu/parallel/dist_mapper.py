@@ -126,7 +126,7 @@ def build_mesh_dream_step(mesh: Mesh, *, half_loc: int, L: int, B: int,
     # (measured spill-free on configs 2/5). DY_CAP2V tightens it for the
     # verify-cost A/B (docs/ROADMAP.md item 7) — spills drain via the host
     # fallback, so correctness is unaffected.
-    cap2v = max(1024, int(float(os.environ.get("DY_CAP2V", "2.0")) * t_cap))
+    cap2v = max(8, int(float(os.environ.get("DY_CAP2V", "2.0")) * t_cap))
     Wb_in = (B + 31) // 32
 
     def local_step(fmset: DeviceFMSet, filter_words, blob, route_in):
@@ -286,14 +286,19 @@ def decode_flat_device(out: "MeshMapOut", jrow: int, d: int,
         return None, (np.zeros(0, np.int64), np.zeros(0, np.int64)), \
             leftover_pairs, True
 
-    # per-pair seed-capacity overflow -> exhaustive re-map of those pairs
-    cap2 = 2 * t_cap
-    ovf = out.ovf_rows[jrow, d * cap2 : (d + 1) * cap2]
+    # per-pair seed-capacity overflow -> exhaustive re-map of those pairs.
+    # ovf_rows strides by SEQ ROWS (2*t_cap per data shard); meta/begin/end
+    # stride by VERIFY LANES (cap2v per shard, = 2*t_cap only at the default
+    # DY_CAP2V factor) — derive cap2v from the array shape, never assume.
+    r2 = 2 * t_cap
+    ovf = out.ovf_rows[jrow, d * r2 : (d + 1) * r2]
     slot_ovf = (ovf[:t_cap] | ovf[t_cap:])[:n_slots]
     if sens == "low":
         slot_ovf = np.zeros(n_slots, dtype=bool)
     fb_pairs = (r0 + read_l[slot_ovf], bin_l[slot_ovf])
 
+    n_data = out.ovf_rows.shape[1] // r2
+    cap2 = out.meta.shape[1] // n_data
     meta = out.meta[jrow, d * cap2 : (d + 1) * cap2].view(np.uint32)
     ok = (meta >> META_OK_SHIFT) > 0
     if not ok.any():
