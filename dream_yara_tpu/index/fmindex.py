@@ -59,10 +59,13 @@ class FMIndex:
     @classmethod
     def build(cls, text: np.ndarray, sample_rate: int = 1,
               sa: np.ndarray | None = None,
-              tmp_dir: str | None = None) -> "FMIndex":
+              tmp_dir: str | None = None,
+              prefix_q: int | None = None) -> "FMIndex":
         """tmp_dir: external-memory SA construction (reference indexer
         `--tmp-dir`, SURVEY.md §2.1 [U]) — the SA lives in an OS-paged
-        memmap under tmp_dir instead of RAM."""
+        memmap under tmp_dir instead of RAM. prefix_q caps the q-mer
+        prefix-table depth (table HBM = 2*4^q ints/bin; big-B databases
+        trade a couple of extra rank trips for table memory)."""
         text = np.asarray(text, dtype=np.int8)
         n = len(text)
         if n >= (1 << 31):
@@ -106,7 +109,7 @@ class FMIndex:
 
         fm = cls(n=n, bwt_blocks=bwt_blocks, occ=occ, counts=counts,
                  sa=sa, sample_rate=1)
-        fm.build_prefix_table(text)
+        fm.build_prefix_table(text, prefix_q)
         if sample_rate > 1:
             fm = fm.subsample_sa(sample_rate)
         return fm

@@ -83,18 +83,25 @@ class DeviceFMSet(NamedTuple):
     @classmethod
     def from_host(cls, fms: list[FMIndex], texts: list[np.ndarray],
                   pad_bins_to: int | None = None,
-                  max_n: int | None = None) -> "DeviceFMSet":
-        arrs = cls.build_np(fms, texts, pad_bins_to, max_n)
+                  max_n: int | None = None,
+                  lean: bool = False) -> "DeviceFMSet":
+        arrs = cls.build_np(fms, texts, pad_bins_to, max_n, lean=lean)
         return cls(**{k: None if v is None else jnp.asarray(v)
                       for k, v in arrs.items()})
 
     @classmethod
     def build_np(cls, fms: list[FMIndex], texts: list[np.ndarray],
                  pad_bins_to: int | None = None,
-                 max_n: int | None = None) -> dict:
+                 max_n: int | None = None, lean: bool = False) -> dict:
         """NumPy field dict (multi-host loaders assemble global arrays from
         these per-process shards; `max_n` forces the pad size so every
-        process builds identically-shaped shards)."""
+        process builds identically-shaped shards).
+
+        lean=True keeps only what the FLAT mesh step consumes — fused rank
+        rows, counts, SA (+marks), text, prefix tables — and replaces
+        bwt_blocks/occ with 1-block placeholders. Saves ~1.2 bytes/char of
+        HBM on big databases (the flat step's rank queries and fused-row
+        locate never touch them)."""
         from .rank import build_fused_rank_rows
 
         B = len(fms)
@@ -102,8 +109,10 @@ class DeviceFMSet(NamedTuple):
         max_blocks = (max_n + BLOCK - 1) // BLOCK
         Bp = pad_bins_to or B
 
-        bwt = np.full((Bp, max_blocks, BLOCK), BWT_PAD, dtype=np.int8)
-        occ = np.zeros((Bp, max_blocks + 1, fms[0].occ.shape[1]), dtype=np.int32)
+        blk_keep = 1 if lean else max_blocks
+        bwt = np.full((Bp, blk_keep, BLOCK), BWT_PAD, dtype=np.int8)
+        occ = np.zeros((Bp, blk_keep + 1, fms[0].occ.shape[1]),
+                       dtype=np.int32)
         counts = np.zeros((Bp, fms[0].counts.shape[0]), dtype=np.int32)
         n = np.zeros(Bp, dtype=np.int32)
         text = np.full((Bp, max_n), BWT_PAD, dtype=np.int8)
@@ -129,9 +138,10 @@ class DeviceFMSet(NamedTuple):
         fused_rows = np.zeros((Bp, max_blocks + 1, 24), dtype=np.int32)
         for b, (fm, t) in enumerate(zip(fms, texts)):
             nb = fm.bwt_blocks.shape[0]
-            bwt[b, :nb] = fm.bwt_blocks
-            occ[b, : nb + 1] = fm.occ
-            occ[b, nb + 1 :] = fm.occ[-1]  # rank is constant past the text end
+            if not lean:
+                bwt[b, :nb] = fm.bwt_blocks
+                occ[b, : nb + 1] = fm.occ
+                occ[b, nb + 1 :] = fm.occ[-1]  # rank constant past text end
             counts[b] = fm.counts
             sa[b, : len(fm.sa)] = fm.sa
             text[b, : fm.n] = t
@@ -146,15 +156,15 @@ class DeviceFMSet(NamedTuple):
                 pfx_hi[b] = fm.pfx_hi
 
         if sampled:
-            devs = [DeviceFM.from_host(fm, t) for fm, t in zip(fms, texts)]
-            nw = max(d.sa_mark_bits.shape[0] for d in devs)
-            nck = max(d.sa_rank_ck.shape[0] for d in devs)
+            # host FMIndex stores the packed device layout directly
+            nw = max(len(fm.sa_mark_bits) for fm in fms)
+            nck = max(len(fm.sa_rank_ck) for fm in fms)
             mark_bits = np.zeros((Bp, nw), dtype=np.uint32)
             rank_ck = np.zeros((Bp, nck), dtype=np.int32)
-            for b, d in enumerate(devs):
-                mark_bits[b, : d.sa_mark_bits.shape[0]] = d.sa_mark_bits
-                rank_ck[b, : d.sa_rank_ck.shape[0]] = d.sa_rank_ck
-                rank_ck[b, d.sa_rank_ck.shape[0] :] = d.sa_rank_ck[-1]
+            for b, fm in enumerate(fms):
+                mark_bits[b, : len(fm.sa_mark_bits)] = fm.sa_mark_bits
+                rank_ck[b, : len(fm.sa_rank_ck)] = fm.sa_rank_ck
+                rank_ck[b, len(fm.sa_rank_ck) :] = fm.sa_rank_ck[-1]
 
         return dict(bwt_blocks=bwt, occ=occ, counts=counts, sa=sa,
                     text=text, n=n, pfx_lo=pfx_lo, pfx_hi=pfx_hi,

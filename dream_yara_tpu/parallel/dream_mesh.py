@@ -35,7 +35,8 @@ class MeshDreamMapper:
 
     def __init__(self, index: DreamIndex, opts: MapperOptions,
                  mesh=None, n_devices: int | None = None,
-                 r_cap: int | None = None, use_pallas: bool | None = None):
+                 r_cap: int | None = None, use_pallas: bool | None = None,
+                 lean: bool = False):
         self.index = index
         self.opts = opts
         self.mesh = mesh or make_mesh(n_devices, n_bins=index.n_bins)
@@ -49,7 +50,10 @@ class MeshDreamMapper:
         fms = list(index.fms)
         texts = [st.text for st in index.stores]
         # pad to the bin axis with empty bins (n=0: searches return empty)
-        host_set = DeviceFMSet.from_host(fms, texts, pad_bins_to=self.B)
+        # lean=True drops bwt/occ from the device set (the flat step never
+        # reads them) — ~1.2 bytes/char of HBM back on Gbp-scale databases
+        host_set = DeviceFMSet.from_host(fms, texts, pad_bins_to=self.B,
+                                         lean=lean)
         self.fmset = shard_db(self.mesh, host_set)
         self.prefix_q = host_set.prefix_q
         self.sample_rate = fms[0].sample_rate if fms else 1

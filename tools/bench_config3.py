@@ -1,0 +1,174 @@
+"""Config-3-scale benchmark: GRCh38-class database on ONE chip.
+
+BASELINE.json config 3 is "GRCh38, 64 bins, v5e-16" — multi-chip hardware
+is not available in-image, so this measures the same DATABASE SCALE on the
+single real chip: 64 bins x 32 Mbp (2.05 Gbp total, the paper's B=64
+geometry), sampled SA rate 16, prefix_q=10, blocked+canonical IBF at
+~12 bits/kmer, lean device set (no bwt/occ upload). 1M SE 100bp reads,
+e<=3%.
+
+Build: python tools/bench_config3.py --build-only   (CPU, ~25 min, cached)
+Run:   python tools/bench_config3.py [n_reads]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from concurrent.futures import ProcessPoolExecutor
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+BINS = 64
+BIN_BP = 32_000_000
+READ_LEN = 100
+CACHE = Path(__file__).parent.parent / ".bench_cache" / "config3"
+
+
+def _build_bin(b: int) -> str:
+    from dream_yara_tpu.index.fmindex import FMIndex
+    from dream_yara_tpu.io.seqstore import SeqStore
+
+    sp = CACHE / f"{b:04d}.store.npz"
+    fp = CACHE / f"{b:04d}.fm.npz"
+    if sp.exists() and fp.exists():
+        return f"bin {b}: cached"
+    rng = np.random.default_rng(1000 + b)
+    g = rng.integers(0, 4, BIN_BP, dtype=np.int8)
+    st = SeqStore.from_seqs([f"chr{b}"], [g])
+    t0 = time.time()
+    fm = FMIndex.build(st.text, sample_rate=16, prefix_q=10)
+    st.save(sp)
+    fm.save(fp)
+    return f"bin {b}: built in {time.time() - t0:.0f}s"
+
+
+def build_or_load(jobs: int = 4):
+    from dream_yara_tpu.index.fmindex import FMIndex
+    from dream_yara_tpu.index.ibf import InterleavedBloomFilter
+    from dream_yara_tpu.io.seqstore import SeqStore
+    from dream_yara_tpu.pipeline.dis_mapper import DreamIndex
+
+    CACHE.mkdir(parents=True, exist_ok=True)
+    t0 = time.time()
+    todo = [b for b in range(BINS)
+            if not (CACHE / f"{b:04d}.fm.npz").exists()]
+    if todo:
+        with ProcessPoolExecutor(max_workers=jobs) as ex:
+            for msg in ex.map(_build_bin, todo):
+                print(f"[c3] {msg}", file=sys.stderr)
+    stores = [SeqStore.load(CACHE / f"{b:04d}.store.npz") for b in range(BINS)]
+    fms = [FMIndex.load(CACHE / f"{b:04d}.fm.npz") for b in range(BINS)]
+
+    fpth = CACHE / "filter.npz"
+    if fpth.exists():
+        filt = InterleavedBloomFilter.load(fpth)
+    else:
+        # ~12 bits per canonical k-mer per bin; 64 bins -> bins_padded 64
+        filt = InterleavedBloomFilter.create(
+            BINS, size_bits=12 * BIN_BP * 64, n_hashes=3, k=19)
+        tF = time.time()
+        from concurrent.futures import ThreadPoolExecutor
+
+        def insert(b):
+            filt.add_kmers(stores[b].text[:-1], b)
+            return b
+
+        with ThreadPoolExecutor(max_workers=jobs) as ex:
+            for b in ex.map(insert, range(BINS)):
+                if b % 16 == 15:
+                    print(f"[c3] filter: {b + 1}/{BINS} bins", file=sys.stderr)
+        filt.save(fpth)
+        print(f"[c3] filter built in {time.time() - tF:.0f}s", file=sys.stderr)
+    print(f"[c3] db ready: {BINS} x {BIN_BP/1e6:.0f} Mbp "
+          f"(blocked={filt.blocked}) in {time.time() - t0:.0f}s",
+          file=sys.stderr)
+    return stores, fms, DreamIndex(stores, fms, filt, "bloom")
+
+
+def make_reads(stores, n_reads, rng):
+    from dream_yara_tpu.io.readstore import ReadBatch
+
+    b_of = rng.integers(0, BINS, n_reads)
+    p = rng.integers(0, BIN_BP - READ_LEN - 1, n_reads)
+    m = np.empty((n_reads, READ_LEN), dtype=np.int8)
+    win = np.arange(READ_LEN)
+    for b in range(BINS):
+        sel = np.flatnonzero(b_of == b)
+        m[sel] = stores[b].text[p[sel, None] + win[None, :]]
+    nsub = rng.integers(0, 4, n_reads)
+    for s in range(1, 4):
+        rows = np.flatnonzero(nsub >= s)
+        cols = rng.integers(0, READ_LEN, len(rows))
+        m[rows, cols] = (m[rows, cols] + rng.integers(1, 4, len(rows))) % 4
+    flip = rng.random(n_reads) < 0.5
+    m[flip] = np.where(m[flip, ::-1] < 4, 3 - m[flip, ::-1], m[flip, ::-1])
+    return ReadBatch.from_reads([f"r{i}" for i in range(n_reads)],
+                                [m[i] for i in range(n_reads)])
+
+
+def main():
+    build_only = "--build-only" in sys.argv
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    n_reads = int(args[0]) if args else 1_000_000
+
+    stores, fms, index = build_or_load()
+    if build_only:
+        return
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      str(Path(__file__).parent.parent / ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from dream_yara_tpu.parallel.dream_mesh import (MeshDreamMapper,
+                                                    mesh_dream_stream)
+    from dream_yara_tpu.utils.options import MapperOptions
+    from dream_yara_tpu.utils.timer import StageTimers
+
+    rng = np.random.default_rng(7)
+    print(f"[c3] generating {n_reads} reads", file=sys.stderr)
+    batches = [make_reads(stores, min(250_000, n_reads - i), rng)
+               for i in range(0, n_reads, 250_000)]
+    opts = MapperOptions(error_rate=0.03)
+    timers = StageTimers()
+    mapper = MeshDreamMapper(index, opts, lean=True)
+    print(f"[c3] mesh {dict(mapper.mesh.shape)}, devices "
+          f"{[str(d) for d in jax.devices()]}", file=sys.stderr)
+
+    # warmup on a tiny batch (compile)
+    t0 = time.time()
+    warm = make_reads(stores, 4096, rng)
+    _ = "".join(mesh_dream_stream(mapper, iter([warm]), timers=timers,
+                                  header=True))
+    print(f"[c3] warmup(compile): {time.time() - t0:.1f}s", file=sys.stderr)
+
+    stats: dict = {}
+    timers = StageTimers()
+    t0 = time.time()
+    out = "".join(mesh_dream_stream(mapper, iter(batches), timers=timers,
+                                    header=True, stats=stats))
+    dt = time.time() - t0
+    n_rec = sum(1 for l in out.splitlines()
+                if l and not l.startswith("@"))
+    n_map = sum(1 for l in out.splitlines()
+                if l and not l.startswith("@")
+                and int(l.split("\t", 3)[1]) & 4 == 0)
+    timers.report(sys.stderr)
+    print(f"[c3] diag: {mapper.fallback_diag}", file=sys.stderr)
+    print(f"[c3] mapped {n_map}/{n_rec}", file=sys.stderr)
+    print(json.dumps({
+        "metric": "config3-scale reads/sec/chip (2 Gbp, 64 bins, 100bp)",
+        "value": round(n_reads / dt, 1), "unit": "reads/s",
+        "mapped_frac": round(n_map / max(n_rec, 1), 4),
+        "n_bins": BINS, "db_bp": BINS * BIN_BP,
+    }))
+
+
+if __name__ == "__main__":
+    main()
