@@ -144,15 +144,14 @@ def main():
     # warmup on a tiny batch (compile)
     t0 = time.time()
     warm = make_reads(stores, 4096, rng)
-    _ = "".join(mesh_dream_stream(mapper, iter([warm]), timers=timers,
-                                  header=True))
+    _ = "".join(mesh_dream_stream(mapper, iter([warm]), timers=timers))
     print(f"[c3] warmup(compile): {time.time() - t0:.1f}s", file=sys.stderr)
 
     stats: dict = {}
     timers = StageTimers()
     t0 = time.time()
     out = "".join(mesh_dream_stream(mapper, iter(batches), timers=timers,
-                                    header=True, stats=stats))
+                                    stats=stats))
     dt = time.time() - t0
     n_rec = sum(1 for l in out.splitlines()
                 if l and not l.startswith("@"))
