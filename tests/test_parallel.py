@@ -192,6 +192,27 @@ def test_mesh_seed_overflow_fallback():
                 mapper.fallback_diag
 
 
+def test_mesh_lean_device_set_identical():
+    """lean=True drops the bwt/occ uploads (the flat step never reads
+    them); output must stay byte-identical, including the sampled-SA
+    fused-row locate path."""
+    rng = np.random.default_rng(31)
+    B = 4
+    genomes = [random_text(rng, 4000) for _ in range(B)]
+    stores = [SeqStore.from_seqs([f"g{b}"], [genomes[b]]) for b in range(B)]
+    fms = [FMIndex.build(st.text, sample_rate=8) for st in stores]
+    filt = InterleavedBloomFilter.create(B, size_bits=1 << 22)
+    for b, g in enumerate(genomes):
+        filt.add_kmers(g, b)
+    index = DreamIndex(stores, fms, filt, "bloom")
+    batch, _ = _planted(rng, genomes, n_per_bin=4)
+    opts = MapperOptions(error_rate=0.03)
+    ref = dream_map_sam(index, batch, opts)
+    mapper = MeshDreamMapper(index, opts, n_devices=8, lean=True)
+    assert mapper.fmset.bwt_blocks.shape[1] == 1  # placeholder only
+    assert mesh_dream_sam(mapper, batch) == ref
+
+
 def test_mesh_kmer_direct_identical():
     """kmer_direct prefilter through the mesh pipeline: identity-addressed
     device classify (regression: fmix-hashed kdx rows routed nothing)."""
