@@ -122,7 +122,9 @@ class DeviceFMSet(NamedTuple):
         rates = {fm.sample_rate for fm in fms}
         rate = rates.pop() if len(rates) == 1 else 1
         sampled = rate > 1
-        max_sa = (max(len(fm.sa) for fm in fms) if sampled else max_n)
+        # shapes derive from max_n (not local maxima) so multi-host
+        # processes with different local bins build identical shard shapes
+        max_sa = ((max_n + rate - 1) // rate if sampled else max_n)
         sa = np.zeros((Bp, max_sa), dtype=np.int32)
         mark_bits = rank_ck = None
 
@@ -156,9 +158,10 @@ class DeviceFMSet(NamedTuple):
                 pfx_hi[b] = fm.pfx_hi
 
         if sampled:
-            # host FMIndex stores the packed device layout directly
-            nw = max(len(fm.sa_mark_bits) for fm in fms)
-            nck = max(len(fm.sa_rank_ck) for fm in fms)
+            # host FMIndex stores the packed device layout directly;
+            # deterministic target sizes (multi-host shard-shape parity)
+            nw = ((max_n + 31) // 32 + 3) // 4 * 4
+            nck = (max_n + 127) // 128 + 1
             mark_bits = np.zeros((Bp, nw), dtype=np.uint32)
             rank_ck = np.zeros((Bp, nck), dtype=np.int32)
             for b, fm in enumerate(fms):

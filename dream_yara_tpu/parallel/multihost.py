@@ -143,19 +143,24 @@ class MultiHostDreamMapper:
                        for b in self.my_bins}
         self.fms = {b: FMIndex.load(bin_file(db_dir, b, "fm"))
                     for b in self.my_bins}
-        for fm in self.fms.values():
-            assert fm.sample_rate == 1, \
-                "multi-host skeleton requires full-SA bins (uniform shapes)"
-
-        # globally consistent pad sizes
+        # globally consistent pad sizes + a single SA sample rate (shard
+        # shapes must match across processes; DeviceFMSet.build_np derives
+        # the sampled-layout sizes from max_n, so any uniform rate works)
         from jax.experimental import multihost_utils as mh
         local_max = max((fm.n for fm in self.fms.values()), default=0)
         local_q = min((fm.prefix_q for fm in self.fms.values()), default=0)
+        local_rates = {fm.sample_rate for fm in self.fms.values()} or {1}
+        assert len(local_rates) == 1, "bins must share one SA sample rate"
         maxes = np.asarray(mh.process_allgather(
-            np.array([local_max, local_q], dtype=np.int64)))
+            np.array([local_max, local_q, local_rates.pop()],
+                     dtype=np.int64)))
         max_n = int(maxes[:, 0].max())
         qs = maxes[:, 1]
         self.prefix_q = int(qs.min()) if (qs > 0).all() else 0
+        rates = set(maxes[:, 2].tolist())
+        assert len(rates) == 1, \
+            f"every host must load bins of ONE sample rate, got {rates}"
+        self.sample_rate = int(rates.pop())
 
         fms_l = [self.fms[b] for b in self.my_bins]
         texts_l = [self.stores[b].text for b in self.my_bins]
@@ -230,7 +235,8 @@ class MultiHostDreamMapper:
             self._steps[key] = build_mesh_dream_step(
                 self.mesh, half_loc=half_loc, L=L, B=self.B, r_cap=r_cap,
                 rate_ppm=rate_ppm, max_errors=max_err, capacity=8,
-                max_slen=max_slen, prefix_q=self.prefix_q, sample_rate=1,
+                max_slen=max_slen, prefix_q=self.prefix_q,
+                sample_rate=self.sample_rate,
                 use_pallas=self.use_pallas, k=self.k,
                 n_hashes=self.n_hashes, window=self.window,
                 use_filter=self.filter is not None,

@@ -22,12 +22,12 @@ from tests.conftest import mutate, random_text
 REPO = Path(__file__).parent.parent
 
 
-def _write_db(tmp, rng, B=4, glen=5000):
+def _write_db(tmp, rng, B=4, glen=5000, sample_rate=1):
     import json
 
     genomes = [random_text(rng, glen) for _ in range(B)]
     stores = [SeqStore.from_seqs([f"g{b}"], [genomes[b]]) for b in range(B)]
-    fms = [FMIndex.build(st.text) for st in stores]
+    fms = [FMIndex.build(st.text, sample_rate=sample_rate) for st in stores]
     filt = InterleavedBloomFilter.create(B, size_bits=1 << 22, n_hashes=3, k=19)
     (tmp / "db" / "bins").mkdir(parents=True)
     for b in range(B):
@@ -90,3 +90,43 @@ def test_two_process_sam_identical(tmp_path):
     err0 = outs[0][1].decode()
     err1 = outs[1][1].decode()
     assert "my_bins=[0, 1]" in err0 and "my_bins=[2, 3]" in err1
+
+
+@pytest.mark.slow
+def test_two_process_sampled_sa_identical(tmp_path):
+    """Sampled-SA bins (rate 4) across 2 processes: shard shapes derive
+    from max_n, so processes with different local bins stay consistent;
+    SAM byte-identical to single-process."""
+    rng = np.random.default_rng(43)
+    genomes, index = _write_db(tmp_path, rng, sample_rate=4)
+    names, reads = [], []
+    for b, g in enumerate(genomes):
+        for i in range(4):
+            p = int(rng.integers(0, len(g) - 100))
+            r = mutate(rng, g[p : p + 100].copy(), n_sub=1)
+            if (b + i) % 2:
+                r = revcomp(r)
+            names.append(f"b{b}r{i}")
+            reads.append(r)
+    _write_fastq(tmp_path / "reads.fq", names, reads)
+    batch = ReadBatch.from_reads(names, reads)
+    opts = MapperOptions(error_rate=0.03)
+    ref = dream_map_sam(index, batch, opts, cmdline="multihost_demo")
+
+    env = {**os.environ,
+           "JAX_PLATFORMS": "cpu",
+           "XLA_FLAGS": "--xla_force_host_platform_device_count=4"}
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    port = 12431
+    procs = []
+    for pid in range(2):
+        procs.append(subprocess.Popen(
+            [sys.executable, str(REPO / "tools" / "multihost_demo.py"),
+             str(pid), "2", str(port), str(tmp_path / "db"),
+             str(tmp_path / "reads.fq"), str(tmp_path / "out.sam")],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE))
+    outs = [p.communicate(timeout=600) for p in procs]
+    for p, (so, se) in zip(procs, outs):
+        assert p.returncode == 0, se.decode()[-3000:]
+    sam = (tmp_path / "out.sam").read_text()
+    assert sam == ref, "2-process sampled-SA SAM differs from single-process"
