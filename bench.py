@@ -71,11 +71,39 @@ def make_reads(store, n_reads):
     return ReadBatch.from_reads([f"r{i}" for i in range(n_reads)], reads)
 
 
+def _probe_device(timeout_s: float = 300.0) -> bool:
+    """Fail fast when the TPU tunnel is wedged: a dead relay makes every
+    device op block FOREVER (observed in round 2), which would hang the
+    whole bench run. Probe a trivial op in a daemon thread and give up
+    loudly after timeout_s."""
+    import threading
+
+    ok = []
+
+    def probe():
+        import jax
+        import jax.numpy as jnp
+
+        x = np.asarray(jnp.sum(jnp.ones((8, 8)) @ jnp.ones((8, 8))))
+        if float(x) == 8 * 8 * 8:
+            ok.append(True)
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    return bool(ok)
+
+
 def main():
     from dream_yara_tpu.pipeline.dis_mapper import (
         DreamIndex, dream_map_sam, dream_map_stream)
     from dream_yara_tpu.utils.options import MapperOptions
     from dream_yara_tpu.utils.timer import StageTimers
+
+    if not _probe_device():
+        print("[bench] FATAL: device unresponsive (tunnel down?) — "
+              "aborting instead of hanging", file=sys.stderr)
+        sys.exit(3)
 
     import jax
 
