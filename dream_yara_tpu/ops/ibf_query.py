@@ -120,40 +120,29 @@ def minimizer_select_dev(mix: jnp.ndarray, valid: jnp.ndarray,
 
 
 def _count_rows_blocked(filter_words, mixf, lanes_valid, n_hashes: int):
-    """Blocked-layout counts: ONE 128-word (512 B) block-row gather per
-    window; the n_hashes probe sub-rows are selected on-VPU by one-hot
-    reduction (bit-identical to index/hashing.ibf_blocked_rows). Gathers
-    cost per index on this TPU, so this is n_hashes x fewer gather indices
-    than the classic per-hash layout at ~free VPU cost."""
+    """Blocked-layout counts: all n_hashes probes of a window live in ONE
+    512 B block (row ids block*S + p_j — bit-identical to index/
+    hashing.ibf_blocked_rows), so the per-hash 1-D gathers of _count_rows
+    hit the same HBM line instead of n_hashes scattered lines. The earlier
+    variant gathered the whole (N, 128) block row and one-hot selected
+    on-VPU — fewer gather indices, but it materializes 512 B per window:
+    15.7 GiB of HLO temp at config-2 batch shapes (OOM on a 16 GiB v5e).
+    Per-probe gathers keep the locality win at 4 B per probe."""
     from ..index.hashing import BLOCK_WORDS
 
-    R, M = lanes_valid.shape
     n_rows, Wd = filter_words.shape
     S = BLOCK_WORDS // Wd
     n_blocks = n_rows // S
-    table = filter_words.reshape(n_blocks, BLOCK_WORDS)
     v0 = _fmix32(mixf ^ jnp.uint32(HASH_SEEDS[0]))
     block = (v0 & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32) % jnp.int32(n_blocks)
     v1 = _fmix32(mixf ^ jnp.uint32(HASH_SEEDS[1]))
     base = v1 & jnp.uint32(S - 1)
     stride = ((v1 >> jnp.uint32(8)) & jnp.uint32(S - 1)) | jnp.uint32(1)
-    g = jnp.take(table, block, axis=0)                    # (N, 128)
-    vflat = lanes_valid.reshape(-1)
-    sidx = jnp.arange(S, dtype=jnp.uint32)
-    shifts = jnp.arange(32, dtype=jnp.uint32)
-    outs = []
-    for w in range(Wd):
-        gw = g[:, w::Wd] if Wd > 1 else g                 # (N, S)
-        anded = None
-        for j in range(n_hashes):
-            pj = (base + jnp.uint32(j) * stride) & jnp.uint32(S - 1)
-            sel = jnp.where(sidx[None, :] == pj[:, None], gw,
-                            jnp.uint32(0)).sum(axis=1, dtype=jnp.uint32)
-            anded = sel if anded is None else (anded & sel)
-        anded = jnp.where(vflat, anded, jnp.uint32(0)).reshape(R, M)
-        bits = ((anded[:, :, None] >> shifts) & 1).astype(jnp.int32)
-        outs.append(bits.sum(axis=1, dtype=jnp.int32))    # (R, 32)
-    return jnp.stack(outs, axis=1)                        # (R, Wd, 32)
+    rows_by_hash = []
+    for j in range(n_hashes):
+        pj = (base + jnp.uint32(j) * stride) & jnp.uint32(S - 1)
+        rows_by_hash.append(block * S + pj.astype(jnp.int32))
+    return _count_rows(filter_words, rows_by_hash, lanes_valid)
 
 
 def _count_rows(filter_words, rows_by_hash, lanes_valid):
