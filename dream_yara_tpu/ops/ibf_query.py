@@ -119,7 +119,8 @@ def minimizer_select_dev(mix: jnp.ndarray, valid: jnp.ndarray,
     return sel & valid
 
 
-def _count_rows_blocked(filter_words, mixf, lanes_valid, n_hashes: int):
+def _count_rows_blocked(filter_words, mixf, lanes_valid, n_hashes: int,
+                        wd_count: int | None = None):
     """Blocked-layout counts: all n_hashes probes of a window live in ONE
     512 B block (row ids block*S + p_j — bit-identical to index/
     hashing.ibf_blocked_rows), so the per-hash 1-D gathers of _count_rows
@@ -127,7 +128,13 @@ def _count_rows_blocked(filter_words, mixf, lanes_valid, n_hashes: int):
     variant gathered the whole (N, 128) block row and one-hot selected
     on-VPU — fewer gather indices, but it materializes 512 B per window:
     15.7 GiB of HLO temp at config-2 batch shapes (OOM on a 16 GiB v5e).
-    Per-probe gathers keep the locality win at 4 B per probe."""
+    Per-probe gathers keep the locality win at 4 B per probe.
+
+    wd_count: count only the first wd_count words per row (the words that
+    hold real bins — the artifact pads bins to 64, so a B<=32 filter
+    carries an always-zero second word; gathers pay per index, so skipping
+    it halves the classify gather count). Row GEOMETRY always uses the
+    artifact's full words-per-row."""
     from ..index.hashing import BLOCK_WORDS
 
     n_rows, Wd = filter_words.shape
@@ -142,6 +149,8 @@ def _count_rows_blocked(filter_words, mixf, lanes_valid, n_hashes: int):
     for j in range(n_hashes):
         pj = (base + jnp.uint32(j) * stride) & jnp.uint32(S - 1)
         rows_by_hash.append(block * S + pj.astype(jnp.int32))
+    if wd_count is not None and wd_count < Wd:
+        filter_words = filter_words[:, :wd_count]
     return _count_rows(filter_words, rows_by_hash, lanes_valid)
 
 
@@ -174,14 +183,18 @@ def ibf_bin_counts(filter_words: jnp.ndarray, reads: jnp.ndarray,
                    lengths: jnp.ndarray, k: int, n_hashes: int,
                    window: int = 0, canonical: bool = False,
                    blocked: bool = False,
-                   direct: bool = False) -> tuple[jnp.ndarray, jnp.ndarray]:
+                   direct: bool = False,
+                   n_bins: int = 0) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Per-bin (selected-)k-mer hit counts for each read row.
 
     filter_words: (n_rows, Wd) uint32; reads: (R, L) int8. Returns
-    (counts, n_sel): counts (R, Wd*32) int32 over padded bins; n_sel (R,)
+    (counts, n_sel): counts (R, Wc*32) int32 over padded bins; n_sel (R,)
     = number of counted k-mers (for the minimizer threshold). blocked=True
-    uses the cache-blocked probe layout (one 512 B row gather per window).
-    """
+    uses the cache-blocked probe layout (all probes of a window in one
+    512 B block). n_bins > 0 restricts blocked counting to the words that
+    hold real bins (Wc = ceil(n_bins/32), else the artifact's full Wd) —
+    classic-layout callers slice filter_words themselves instead (the row
+    ids there don't depend on words-per-row)."""
     n_rows = filter_words.shape[0]
     R = reads.shape[0]
     lo, hi, valid = kmer_windows_dev(reads, lengths, k,
@@ -209,7 +222,10 @@ def ibf_bin_counts(filter_words: jnp.ndarray, reads: jnp.ndarray,
     # TPU-tiled minor dimension
     mixf = mix.reshape(-1)                                     # (R*m,)
     if blocked:
-        counts = _count_rows_blocked(filter_words, mixf, valid, n_hashes)
+        wd_count = (min(filter_words.shape[1], max(1, (n_bins + 31) // 32))
+                    if n_bins > 0 else None)
+        counts = _count_rows_blocked(filter_words, mixf, valid, n_hashes,
+                                     wd_count)
         return counts.reshape(R, -1), n_sel
     if direct:
         # direct-addressing filter (index/kdx.py): the row IS the packed
@@ -248,11 +264,12 @@ def ibf_candidates(filter_words, reads, lengths, k, n_hashes, thresholds,
 @functools.partial(jax.jit,
                    static_argnames=("half", "L", "k", "n_hashes", "rate_ppm",
                                     "window", "canonical", "blocked",
-                                    "direct"))
+                                    "direct", "n_bins"))
 def ibf_classify_packed(filter_words, blob, *, half: int, L: int,
                         k: int, n_hashes: int, rate_ppm: int,
                         window: int = 0, canonical: bool = False,
-                        blocked: bool = False, direct: bool = False):
+                        blocked: bool = False, direct: bool = False,
+                        n_bins: int = 0):
     """Whole-batch classification from packed uploads: unpack fwd+rc rows on
     device, count (selected) k-mers per bin, threshold, OR the two
     orientations, and bit-pack the (reads, bins) candidate mask so the
@@ -266,14 +283,14 @@ def ibf_classify_packed(filter_words, blob, *, half: int, L: int,
         # canonical values cover both orientations: hash forward rows only
         counts, n_sel = ibf_bin_counts(filter_words, reads[:half], lengths,
                                        k, n_hashes, window, canonical=True,
-                                       blocked=blocked)
+                                       blocked=blocked, n_bins=n_bins)
         thr = classify_thresholds(lengths, n_sel, k, window, rate_ppm)
         cand = counts >= thr[:, None]                         # (half, Bp)
     else:
         lengths2 = jnp.concatenate([lengths, lengths])
         counts, n_sel = ibf_bin_counts(filter_words, reads, lengths2, k,
                                        n_hashes, window, blocked=blocked,
-                                       direct=direct)
+                                       direct=direct, n_bins=n_bins)
         thr = classify_thresholds(lengths2, n_sel, k, window, rate_ppm)
         mask = counts >= thr[:, None]
         cand = mask[:half] | mask[half:]                      # (half, Bp)

@@ -144,13 +144,14 @@ def build_mesh_dream_step(mesh: Mesh, *, half_loc: int, L: int, B: int,
             # half the hash-row gathers, no orientation OR
             counts, n_sel = ibf_bin_counts(filter_words, reads[:half_loc],
                                            lengths, k, n_hashes, window,
-                                           canonical=True, blocked=blocked)
+                                           canonical=True, blocked=blocked,
+                                           n_bins=B)
             thr = classify_thresholds(lengths, n_sel, k, window, rate_ppm)
             cand = (counts >= thr[:, None])[:, :B]
         elif use_filter:
             counts, n_sel = ibf_bin_counts(filter_words, reads, lengths2, k,
                                            n_hashes, window, blocked=blocked,
-                                           direct=direct)
+                                           direct=direct, n_bins=B)
             cand = routing_from_counts(counts, n_sel, lengths2, k, window,
                                        rate_ppm, half_loc)
             cand = cand[:, :B]

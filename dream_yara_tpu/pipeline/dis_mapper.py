@@ -129,7 +129,8 @@ def classify_reads(index: DreamIndex, batch: ReadBatch, opts: MapperOptions,
             words, jnp.asarray(blob), half=IBF_READS,
             L=L, k=filt.k, n_hashes=filt.n_hashes, rate_ppm=rate_ppm,
             window=getattr(filt, "window", 0), canonical=canonical,
-            blocked=blocked, direct=bool(getattr(filt, "direct", 0))))
+            blocked=blocked, direct=bool(getattr(filt, "direct", 0)),
+            n_bins=B))
         bits = ((cw[:, :, None] >> shifts) & 1).astype(bool)
         mask[ids] = bits.reshape(IBF_READS, -1)[: len(ids), :B]
     return mask

@@ -74,7 +74,7 @@ def main():
             reads = unpack_reads(packed, nmask, lengths, L)
             counts, n_sel = ibf_bin_counts(fw_, reads[:half], lengths, k,
                                            nh, w, canonical=True,
-                                           blocked=blocked)
+                                           blocked=blocked, n_bins=B)
             thr = classify_thresholds(lengths, n_sel, k, w, rate_ppm)
             cand = (counts >= thr[:, None])[:, :B]
             rs, bs, valid, _ = slot_pool(cand, t_cap)

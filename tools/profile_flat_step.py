@@ -75,13 +75,13 @@ def main():
         if canonical:
             counts, n_sel = ibf_bin_counts(fw_, reads[:half], lengths, k,
                                            nh, w, canonical=True,
-                                           blocked=blocked)
+                                           blocked=blocked, n_bins=B)
             thr = classify_thresholds(lengths, n_sel, k, w, rate_ppm)
             cand = (counts >= thr[:, None])[:, :B]
         else:
             lengths2 = jnp.concatenate([lengths, lengths])
             counts, n_sel = ibf_bin_counts(fw_, reads, lengths2, k, nh, w,
-                                           blocked=blocked)
+                                           blocked=blocked, n_bins=B)
             cand = routing_from_counts(counts, n_sel, lengths2, k, w,
                                        rate_ppm, half)[:, :B]
         return reads, lengths, cand
