@@ -331,3 +331,32 @@ def test_canonical_filter_strand_symmetric(rng):
                                    canonical=True)
     assert np.array_equal(np.asarray(dlo)[0], lo_f)
     assert np.array_equal(np.asarray(dhi)[0], hi_f)
+
+
+def test_blocked_n_bins_slice_matches_full(rng):
+    """n_bins-restricted blocked counting (skip the padded always-zero
+    filter words) returns the same per-bin counts as full-width counting
+    — the product classify path passes n_bins=B (ops/ibf_query)."""
+    import jax.numpy as jnp
+
+    from dream_yara_tpu.ops.ibf_query import ibf_bin_counts
+
+    k, bins = 19, 5  # bins padded to 64 -> 2 words/row, word 1 always zero
+    ibf = InterleavedBloomFilter.create(bins, size_bits=1 << 22, n_hashes=3,
+                                        k=k)
+    assert ibf.blocked == 1 and ibf.words.shape[1] == 2
+    seqs = [random_text(rng, 1200) for _ in range(bins)]
+    for b, s in enumerate(seqs):
+        ibf.add_kmers(s, b)
+    reads = np.stack([np.asarray(seqs[i % bins][10:130]) for i in range(4)])
+    lens = np.full(4, 120, np.int32)
+    args = (jnp.asarray(ibf.words), jnp.asarray(reads.astype(np.int8)),
+            jnp.asarray(lens), k, ibf.n_hashes)
+    kw = dict(canonical=bool(ibf.canonical), blocked=True)
+    full, n_full = ibf_bin_counts(*args, **kw)
+    sliced, n_sliced = ibf_bin_counts(*args, **kw, n_bins=bins)
+    assert sliced.shape[1] == 32 and full.shape[1] == 64
+    assert np.array_equal(np.asarray(full)[:, :bins],
+                          np.asarray(sliced)[:, :bins])
+    assert np.array_equal(np.asarray(n_full), np.asarray(n_sliced))
+    assert not np.asarray(full)[:, 32:].any()
