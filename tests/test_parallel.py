@@ -307,3 +307,114 @@ def test_mesh_stream_matches_per_batch(db_and_reads):
     got = list(mesh_dream_stream(mapper, [batch, b2], stats=stats_st))
     assert got == ref
     assert stats_st == stats_ref
+
+
+@pytest.fixture(scope="module")
+def cassette_db():
+    """4 bins sharing a 400bp cassette: reads from the cassette are
+    co-optimal in every bin, exercising cross-bin XA/secondary merge
+    ordering, strata reporting, and the MAPQ co-optimal path."""
+    rng = np.random.default_rng(97)
+    cassette = random_text(rng, 400)
+    genomes = []
+    for b in range(4):
+        g = random_text(rng, 6000)
+        g[1000 + 37 * b : 1400 + 37 * b] = cassette
+        genomes.append(g)
+    stores = [SeqStore.from_seqs([f"g{b}"], [genomes[b]]) for b in range(4)]
+    fms = [FMIndex.build(st.text) for st in stores]
+    filt = InterleavedBloomFilter.create(4, size_bits=1 << 22, n_hashes=3,
+                                         k=19)
+    for b, g in enumerate(genomes):
+        filt.add_kmers(g, b)
+    index = DreamIndex(stores, fms, filt, "bloom")
+    names, reads = [], []
+    # cassette reads (co-optimal in all 4 bins) at 0 and 1 errors
+    for i in range(6):
+        p = 1000 + 30 * i
+        r = genomes[0][p : p + 100].copy()
+        if i % 2:
+            r = mutate(rng, r, n_sub=1)
+        if i % 3 == 0:
+            r = revcomp(r)
+        names.append(f"cas{i}")
+        reads.append(r)
+    # unique reads, 0-2 errors (sub-optimal strata candidates)
+    for b, g in enumerate(genomes):
+        for i in range(3):
+            p = int(rng.integers(2200, len(g) - 100))
+            r = mutate(rng, g[p : p + 100].copy(), n_sub=i)
+            names.append(f"u{b}_{i}")
+            reads.append(r)
+    # planted sub-optimal sites: genome 2 holds 1-mismatch copies of
+    # genome-0 segments, so exact reads of those segments have a 0-error
+    # best site and a 1-error sub-optimal site (visible only at -s >= 1)
+    for i in range(4):
+        p = 1600 + 120 * i
+        seg = genomes[0][p : p + 100].copy()
+        sub = seg.copy()
+        sub[50] = (sub[50] + 1) % 4
+        genomes[2][1600 + 120 * i : 1700 + 120 * i] = sub
+        names.append(f"sub{i}")
+        reads.append(seg)
+    # rebuild bin 2's store/index/filter column over the edited genome
+    stores[2] = SeqStore.from_seqs(["g2"], [genomes[2]])
+    fms[2] = FMIndex.build(stores[2].text)
+    filt.clear_bins([2])
+    filt.add_kmers(genomes[2], 2)
+    index = DreamIndex(stores, fms, filt, "bloom")
+    return index, ReadBatch.from_reads(names, reads)
+
+
+@pytest.mark.parametrize("sm", ["tag", "record", "omit"])
+@pytest.mark.parametrize("s", [0, 1])
+def test_mesh_option_matrix_identical(cassette_db, sm, s):
+    """VERDICT r2 item 4: -s > 0 and every -sm mode must be byte-identical
+    across the single-device and mesh paths (previously only defaults were
+    cross-path tested). On divergence, samdiff localizes the field."""
+    index, batch = cassette_db
+    opts = MapperOptions(error_rate=0.03, strata_count=s,
+                         secondary_matches=sm)
+    ref = dream_map_sam(index, batch, opts)
+    # the option must actually change the output (non-vacuous coverage)
+    body = [l for l in ref.splitlines() if l and not l.startswith("@")]
+    n_sec = sum(1 for l in body if int(l.split("\t")[1]) & 0x100)
+    has_xa = any("XA:Z:" in l for l in body)
+    if sm == "record":
+        assert n_sec > 0, "cassette reads must produce secondary records"
+    elif sm == "tag":
+        assert has_xa and n_sec == 0
+    else:
+        assert not has_xa and n_sec == 0
+    for nd in (2, 8):
+        mapper = MeshDreamMapper(index, opts, n_devices=nd)
+        sam = mesh_dream_sam(mapper, batch)
+        if sam != ref:
+            from dream_yara_tpu.io.samdiff import diff_sam
+
+            d = diff_sam(sam, ref)
+            raise AssertionError(
+                f"mesh({nd}) differs (sm={sm}, s={s}):\n"
+                + d.report("mesh", "single"))
+
+
+def test_strata_count_widens_reporting(cassette_db):
+    """-s 1 must report strictly more (or equal) sites than -s 0 and
+    include sub-optimal matches one error above the best stratum."""
+    index, batch = cassette_db
+    sam0 = dream_map_sam(index, batch,
+                         MapperOptions(error_rate=0.03, strata_count=0,
+                                       secondary_matches="record"))
+    sam1 = dream_map_sam(index, batch,
+                         MapperOptions(error_rate=0.03, strata_count=1,
+                                       secondary_matches="record"))
+    def mapped_sites(sam):
+        return [l.split("\t")[:4] for l in sam.splitlines()
+                if l and not l.startswith("@") and l.split("\t")[2] != "*"]
+
+    n0, n1 = len(mapped_sites(sam0)), len(mapped_sites(sam1))
+    assert n1 > n0, (n0, n1)
+    # the widened records include the planted 1-error copies in bin 2 (g2)
+    sub1 = [s for s in mapped_sites(sam1) if s[0].startswith("sub")
+            and s[2] == "g2"]
+    assert len(sub1) >= 4, sub1

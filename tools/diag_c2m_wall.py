@@ -26,8 +26,8 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from dream_yara_tpu.parallel.dream_mesh import (MeshDreamMapper,
-                                                    mesh_dream_sam,
-                                                    _finish_batch)
+                                                    mesh_dream_sam)
+    from dream_yara_tpu.pipeline.dis_mapper import _finish_batch
     from dream_yara_tpu.utils.options import MapperOptions
     from dream_yara_tpu.utils.timer import StageTimers
 

@@ -41,28 +41,12 @@ def write_fastq(path, names, reads):
             f.write(f"@{nm}\n{s}\n+\n{'I' * len(s)}\n")
 
 
-def canonical(sam_path: Path):
-    recs = []
-    for l in Path(sam_path).read_text().splitlines():
-        if not l or l.startswith("@"):
-            continue
-        f = l.split("\t")
-        recs.append((f[0], int(f[1]) & 0x9C1, f[2], f[3], f[4], f[5],
-                     [t for t in f[11:] if t.startswith("NM:")]))
-    return sorted(recs)
-
-
 def diff(ours, theirs, label):
-    a, b = canonical(ours), canonical(theirs)
-    if a == b:
-        print(f"[parity] {label}: IDENTICAL ({len(a)} records)")
-        return 0
-    mism = sum(1 for x, y in zip(a, b) if x != y) + abs(len(a) - len(b))
-    print(f"[parity] {label}: {mism} differing records of {len(a)}")
-    for x, y in list(zip(a, b))[:10]:
-        if x != y:
-            print(f"  ours:   {x}\n  theirs: {y}")
-    return 1
+    from dream_yara_tpu.io.samdiff import diff_sam
+
+    d = diff_sam(Path(ours).read_text(), Path(theirs).read_text())
+    print(f"[parity] {label}: {d.report('ours', 'reference')}")
+    return 0 if d.identical else 1
 
 
 def main():
