@@ -97,3 +97,33 @@ def test_cli_pe_flow(toy_db, rng):
     assert all(int(r[1]) & 0x2 for r in recs), [r[1] for r in recs]
     tl = {r[0]: abs(int(r[8])) for r in recs}
     assert all(v == 300 for v in tl.values())
+
+
+def test_indexer_auto_sample_rate(tmp_path, rng):
+    """VERDICT r2 weak #6: the default must never build artifacts the
+    flagship config cannot load. Auto rate = smallest of (1,8,16,32) whose
+    whole-DB footprint fits half of --hbm-gb; tiny DBs keep the full SA;
+    --bin-id rebuilds inherit the DB's existing rate from meta.json."""
+    import json
+
+    from dream_yara_tpu.cli.indexer import auto_sample_rate
+    from dream_yara_tpu.index.fmindex import FMIndex
+
+    # pure rule: small DB -> full SA; paper-geometry 2 Gbp -> sampled
+    assert auto_sample_rate(5_000_000, 16.0) == 1
+    assert auto_sample_rate(2_050_000_000, 16.0) == 8
+    assert auto_sample_rate(60_000_000_000, 16.0) == 32  # refuse-path scale
+
+    # end-to-end: explicit rate recorded in meta; --bin-id inherits it
+    g = random_text(rng, 4000)
+    fa = tmp_path / "b0.fa"
+    write_fasta(fa, ["g0"], [g])
+    db = tmp_path / "db"
+    indexer.main([str(fa), "-o", str(db), "--sample-rate", "4"])
+    assert json.loads((db / "meta.json").read_text())["sample_rate"] == 4
+    g2 = random_text(rng, 4000)
+    fa2 = tmp_path / "b0_new.fa"
+    write_fasta(fa2, ["g0"], [g2])
+    indexer.main([str(fa2), "-o", str(db), "--bin-id", "0"])
+    fm = FMIndex.load(db / "bins" / "0000.fm.npz")
+    assert fm.sample_rate == 4
