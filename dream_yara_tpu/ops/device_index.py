@@ -92,35 +92,51 @@ class DeviceFMSet(NamedTuple):
     @classmethod
     def build_np(cls, fms: list[FMIndex], texts: list[np.ndarray],
                  pad_bins_to: int | None = None,
-                 max_n: int | None = None, lean: bool = False) -> dict:
+                 max_n: int | None = None, lean: bool = False,
+                 prefix_q: int | None = None,
+                 sample_rate: int | None = None) -> dict:
         """NumPy field dict (multi-host loaders assemble global arrays from
         these per-process shards; `max_n` forces the pad size so every
         process builds identically-shaped shards).
+
+        `prefix_q` / `sample_rate` override the locally-derived layout
+        parameters — multi-host loaders pass the globally-agreed values so
+        a process whose bin range is EMPTY (uneven bins-per-host padding)
+        still builds shard shapes identical to every other process's.
 
         lean=True keeps only what the FLAT mesh step consumes — fused rank
         rows, counts, SA (+marks), text, prefix tables — and replaces
         bwt_blocks/occ with 1-block placeholders. Saves ~1.2 bytes/char of
         HBM on big databases (the flat step's rank queries and fused-row
         locate never touch them)."""
+        from ..index.fmindex import SIGMA
         from .rank import build_fused_rank_rows
 
         B = len(fms)
+        if B == 0 and (max_n is None or pad_bins_to is None):
+            raise ValueError("empty bin list needs explicit max_n and "
+                             "pad_bins_to (multi-host shard-shape parity)")
         max_n = max_n or max(fm.n for fm in fms)
         max_blocks = (max_n + BLOCK - 1) // BLOCK
         Bp = pad_bins_to or B
 
         blk_keep = 1 if lean else max_blocks
         bwt = np.full((Bp, blk_keep, BLOCK), BWT_PAD, dtype=np.int8)
-        occ = np.zeros((Bp, blk_keep + 1, fms[0].occ.shape[1]),
+        occ = np.zeros((Bp, blk_keep + 1,
+                        fms[0].occ.shape[1] if B else SIGMA),
                        dtype=np.int32)
-        counts = np.zeros((Bp, fms[0].counts.shape[0]), dtype=np.int32)
+        counts = np.zeros((Bp, fms[0].counts.shape[0] if B else SIGMA + 1),
+                          dtype=np.int32)
         n = np.zeros(Bp, dtype=np.int32)
         text = np.full((Bp, max_n), BWT_PAD, dtype=np.int8)
 
         # sampled mode only when every bin shares one rate (mixed-rate DBs
         # fall back to the full-SA layout built by the indexer)
-        rates = {fm.sample_rate for fm in fms}
-        rate = rates.pop() if len(rates) == 1 else 1
+        if sample_rate is not None:
+            rate = sample_rate
+        else:
+            rates = {fm.sample_rate for fm in fms}
+            rate = rates.pop() if len(rates) == 1 else 1
         sampled = rate > 1
         # shapes derive from max_n (not local maxima) so multi-host
         # processes with different local bins build identical shard shapes
@@ -130,8 +146,11 @@ class DeviceFMSet(NamedTuple):
 
         # common prefix-table depth: the smallest q over bins (rebuild where
         # a bin was built at a different q); 0 disables the table
-        qs = [fm.prefix_q for fm in fms]
-        q = min(qs) if all(q > 0 for q in qs) else 0
+        if prefix_q is not None:
+            q = prefix_q
+        else:
+            qs = [fm.prefix_q for fm in fms]
+            q = min(qs) if B and all(q > 0 for q in qs) else 0
         pfx_lo = pfx_hi = None
         if q > 0:
             pfx_lo = np.zeros((Bp, 4 ** q), dtype=np.int32)

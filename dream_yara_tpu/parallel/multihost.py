@@ -147,17 +147,21 @@ class MultiHostDreamMapper:
         # shapes must match across processes; DeviceFMSet.build_np derives
         # the sampled-layout sizes from max_n, so any uniform rate works)
         from jax.experimental import multihost_utils as mh
+        # a host whose padded bin range is EMPTY (uneven bins-per-host,
+        # n_bins % processes != 0) must not constrain the global layout:
+        # it sends sentinels (-1) that the agreement below ignores
         local_max = max((fm.n for fm in self.fms.values()), default=0)
-        local_q = min((fm.prefix_q for fm in self.fms.values()), default=0)
-        local_rates = {fm.sample_rate for fm in self.fms.values()} or {1}
-        assert len(local_rates) == 1, "bins must share one SA sample rate"
+        local_q = min((fm.prefix_q for fm in self.fms.values()), default=-1)
+        local_rates = {fm.sample_rate for fm in self.fms.values()}
+        assert len(local_rates) <= 1, "bins must share one SA sample rate"
         maxes = np.asarray(mh.process_allgather(
-            np.array([local_max, local_q, local_rates.pop()],
+            np.array([local_max, local_q,
+                      local_rates.pop() if local_rates else -1],
                      dtype=np.int64)))
         max_n = int(maxes[:, 0].max())
-        qs = maxes[:, 1]
-        self.prefix_q = int(qs.min()) if (qs > 0).all() else 0
-        rates = set(maxes[:, 2].tolist())
+        qs = maxes[maxes[:, 1] >= 0, 1]
+        self.prefix_q = (int(qs.min()) if len(qs) and (qs > 0).all() else 0)
+        rates = set(maxes[maxes[:, 2] >= 0, 2].tolist()) or {1}
         assert len(rates) == 1, \
             f"every host must load bins of ONE sample rate, got {rates}"
         self.sample_rate = int(rates.pop())
@@ -169,7 +173,8 @@ class MultiHostDreamMapper:
                 if fm.prefix_q != self.prefix_q:
                     fm.build_prefix_table(t, self.prefix_q)
         arrs = DeviceFMSet.build_np(fms_l, texts_l, pad_bins_to=self.B_loc,
-                                    max_n=max_n)
+                                    max_n=max_n, prefix_q=self.prefix_q,
+                                    sample_rate=self.sample_rate)
         if not self.prefix_q:
             arrs["pfx_lo"] = arrs["pfx_hi"] = None
 

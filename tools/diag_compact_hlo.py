@@ -46,6 +46,8 @@ def main():
     from dream_yara_tpu.ops.readpack import (pack_blob_with_lengths,
                                              unpack_blob, unpack_reads)
 
+    which_stages = (sys.argv[2].split(",") if len(sys.argv) > 2
+                    else ["dedup", "compact"])
     n_pairs = (int(sys.argv[1]) if len(sys.argv) > 1 else 250_000) // 2
     genomes, index = build_or_load()
     rng = np.random.default_rng(7)
@@ -87,7 +89,7 @@ def main():
         return fn
 
     stats = {}
-    for which in ("dedup", "compact"):
+    for which in which_stages:
         lowered = jax.jit(stage(which)).lower(fmset, fw, blob)
         compiled = lowered.compile()
         txt = compiled.as_text()
@@ -96,7 +98,7 @@ def main():
         print(f"[hlo] {which}: {len(txt)} chars, "
               f"{sum(stats[which].values())} ops -> /tmp/hlo_{which}.txt")
 
-    d, c = stats["dedup"], stats["compact"]
+    d, c = stats[which_stages[0]], stats[which_stages[1]]
     keys = sorted(set(d) | set(c), key=lambda x: -(c.get(x, 0) - d.get(x, 0)))
     print(f"{'op':28s} {'dedup':>8s} {'compact':>8s} {'delta':>7s}")
     for x in keys:
