@@ -41,6 +41,16 @@ def main(argv=None):
         print("[build-filter] filter-type none: nothing to build", file=sys.stderr)
         return
 
+    if a.window_size > a.kmer_size:
+        w0 = a.window_size - a.kmer_size + 1
+        per_err = 2 * (-(-a.kmer_size // w0) + 2)
+        print(f"[build-filter] WARNING: minimizer mode (-w {a.window_size}) "
+              f"charges ~{per_err} minimizers per read error in the "
+              f"no-false-negative routing threshold; beyond ~1-2 errors per "
+              f"read the threshold collapses and every read routes to every "
+              f"bin (measured SLOWER than -w 0 at 3% error rates — "
+              f"docs/OUTPUT_CONTRACT.md round-3 addendum)", file=sys.stderr)
+
     from ..index.ibf import InterleavedBloomFilter
     from ..index.kdx import DirectKmerFilter
     from ..io.fasta import read_fasta

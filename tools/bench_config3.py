@@ -147,25 +147,32 @@ def main():
     _ = "".join(mesh_dream_stream(mapper, iter([warm]), timers=timers))
     print(f"[c3] warmup(compile): {time.time() - t0:.1f}s", file=sys.stderr)
 
-    stats: dict = {}
-    timers = StageTimers()
-    t0 = time.time()
-    out = "".join(mesh_dream_stream(mapper, iter(batches), timers=timers,
-                                    stats=stats))
-    dt = time.time() - t0
-    n_rec = sum(1 for l in out.splitlines()
-                if l and not l.startswith("@"))
-    n_map = sum(1 for l in out.splitlines()
-                if l and not l.startswith("@")
-                and int(l.split("\t", 3)[1]) & 4 == 0)
-    timers.report(sys.stderr)
-    print(f"[c3] diag: {mapper.fallback_diag}", file=sys.stderr)
-    print(f"[c3] mapped {n_map}/{n_rec}", file=sys.stderr)
+    # median of N timed passes (tunnel noise +-25%, BASELINE.md)
+    passes = int(args[1]) if len(args) > 1 else 3
+    rps_all, n_map, n_rec = [], 0, 0
+    for pi in range(passes):
+        stats = {}
+        timers = StageTimers()
+        t0 = time.time()
+        out = "".join(mesh_dream_stream(mapper, iter(batches), timers=timers,
+                                        stats=stats))
+        rps_all.append(n_reads / (time.time() - t0))
+        print(f"[c3] pass {pi}: {rps_all[-1]:.0f} reads/s", file=sys.stderr)
+        if pi == 0:
+            n_rec = sum(1 for l in out.splitlines()
+                        if l and not l.startswith("@"))
+            n_map = sum(1 for l in out.splitlines()
+                        if l and not l.startswith("@")
+                        and int(l.split("\t", 3)[1]) & 4 == 0)
+            timers.report(sys.stderr)
+            print(f"[c3] diag: {mapper.fallback_diag}", file=sys.stderr)
+            print(f"[c3] mapped {n_map}/{n_rec}", file=sys.stderr)
     print(json.dumps({
         "metric": "config3-scale reads/sec/chip (2 Gbp, 64 bins, 100bp)",
-        "value": round(n_reads / dt, 1), "unit": "reads/s",
+        "value": round(float(np.median(rps_all)), 1), "unit": "reads/s",
         "mapped_frac": round(n_map / max(n_rec, 1), 4),
         "n_bins": BINS, "db_bp": BINS * BIN_BP,
+        "passes": [round(r, 1) for r in rps_all],
     }))
 
 

@@ -126,25 +126,34 @@ def main():
 
     batches = [make_batch(genomes, batch_reads, rng)
                for _ in range(max(1, n_reads // batch_reads))]
-    timers = StageTimers()
-    stats: dict = {}
-    t0 = time.time()
-    n_rec = 0
-    for sam in mesh_dream_stream(mapper, batches, timers=timers, stats=stats):
-        n_rec += sum(1 for l in sam.splitlines()
-                     if l and not l.startswith("@"))
-    dt = time.time() - t0
     total = batch_reads * len(batches)
+    # median of 5 timed passes (tunnel noise +-25%, BASELINE.md)
+    passes = int(sys.argv[3]) if len(sys.argv) > 3 else 5
+    rps_all = []
+    for pi in range(passes):
+        timers = StageTimers()
+        stats: dict = {}
+        t0 = time.time()
+        n_rec = 0
+        for sam in mesh_dream_stream(mapper, batches, timers=timers,
+                                     stats=stats):
+            n_rec += sum(1 for l in sam.splitlines()
+                         if l and not l.startswith("@"))
+        rps_all.append(total / (time.time() - t0))
+        print(f"[c5] pass {pi}: {rps_all[-1]:.0f} reads/s", file=sys.stderr)
+        if pi == 0:
+            print(timers.report(), file=sys.stderr)
+            print(f"[c5] mapped {stats.get('mapped', '?')} of {total}",
+                  file=sys.stderr)
     diag = mapper.fallback_diag
     skew_fallback = diag["route_ovf"] / max(diag["routed"], 1)
-    print(timers.report(), file=sys.stderr)
-    print(f"[c5] mapped {stats.get('mapped', '?')} of {total}", file=sys.stderr)
     print(json.dumps({
         "metric": "config5 reads/sec/chip (256-bin Zipf metagenome)",
-        "value": round(total / dt, 1), "unit": "reads/s",
+        "value": round(float(np.median(rps_all)), 1), "unit": "reads/s",
         "n_bins": n_bins, "drain_passes": diag["drain_passes"],
         "route_overflow_frac": round(skew_fallback, 5),
-        "tuned_r_cap": getattr(mapper, "_tuned_r_cap", 0)}))
+        "tuned_r_cap": getattr(mapper, "_tuned_r_cap", 0),
+        "passes": [round(r, 1) for r in rps_all]}))
 
 
 if __name__ == "__main__":
