@@ -152,11 +152,13 @@ def main(argv=None):
             if text is not None:
                 sys.stdout.write(text)
         else:
+            cmdline = " ".join(argv if argv is not None else sys.argv[1:])
             out = open_output(a.output_file)
             header = True
             for batch in reader:
                 out.write_sam(mesh_dream_sam(mm, batch, timers=timers,
-                                             header=header, stats=stats))
+                                             header=header, stats=stats,
+                                             cmdline=cmdline))
                 header = False
             out.close()
         dt = time.time() - t0

@@ -204,20 +204,22 @@ def _flat_core(fmset, reads, lengths, bin_slot, rate_ppm, max_errors,
     if stop_after == "dedup":
         return keep2
     if stop_after in ("flatten", "cumsum", "scatter"):
-        # inline mirror of global_compact for stage attribution only
-        keep_f = keep2.reshape(-1)
-        rowv = jnp.repeat(row_ids, A.shape[1])
-        anch = jnp.where(keep2, A, 0).reshape(-1)
-        if stop_after == "flatten":
-            return keep_f, rowv, anch
-        pos2 = jnp.cumsum(keep_f.astype(jnp.int32)) - 1
-        total = jnp.where(keep_f.shape[0] > 0, pos2[-1] + 1, 0)
-        if stop_after == "cumsum":
-            return pos2, total
-        dst = jnp.where(keep_f & (pos2 < compact_cap), pos2, compact_cap)
-        ra = jnp.stack([jnp.where(keep_f, rowv, 0), anch], axis=1)
-        buf = jnp.zeros((compact_cap + 1, 2), jnp.int32).at[dst].set(ra)
-        return buf[:compact_cap, 0], buf[:compact_cap, 1]
+        # inline mirror of global_compact's row-start stages, for stage
+        # attribution only (DY_PFS_STAGES in tools/profile_flat_step.py)
+        from .map_step import flat_cumsum
+        cnt = keep2.sum(axis=1, dtype=jnp.int32)
+        incl = flat_cumsum(cnt)
+        off = incl - cnt
+        if stop_after == "flatten":                   # row counts + offsets
+            return cnt, off, incl[-1]
+        dst = jnp.where((cnt > 0) & (off < compact_cap), off, compact_cap)
+        starts = jnp.zeros(compact_cap, jnp.int32).at[dst].set(
+            jnp.arange(A.shape[0], dtype=jnp.int32), mode="drop",
+            unique_indices=True)
+        rowp = jax.lax.associative_scan(jnp.maximum, starts)
+        if stop_after == "cumsum":                    # start scatter + fill
+            return rowp, incl[-1]
+        return global_compact(A, keep2, row_ids, compact_cap)[:2]
     vrow, vanch, keep, n_spilled = global_compact(A, keep2, row_ids,
                                                   compact_cap)
     if stop_after == "compact":

@@ -347,21 +347,42 @@ def global_compact(A, V, row_ids, cap2: int):
 
     A, V: (R, slots); row_ids: (R,). Returns (vrow, vanch, keep2, n_spilled)
     with (cap2,) shapes.
+
+    Implementation: ROW-START scatter + prefix-max fill + within-row rank
+    select. Scattering all R*slots lanes (with the dropped lanes colliding
+    on a dump slot) hits XLA's slow non-unique scatter path — measured
+    1.69 s IN ISOLATION at config-2 shapes (25M lanes), the whole flat-step
+    "+1.68s compact anomaly" of docs/ROADMAP.md item 6. Scattering only the
+    <=R row start positions (unique, mode='drop') and reconstructing each
+    output slot's row via a cumulative-max scan measured 60 ms for the same
+    shapes (tools/proto_compact_variants.py: 2-col dump scatter 1688 /
+    two scalar 324 / lane-id scatter + gather 190 / searchsorted 300 /
+    row-start prefix-max 60). Output is bit-identical to the old scatter,
+    including the zeroed tail beyond `total`.
     """
     R, slots = A.shape
-    keep = V.reshape(-1)
-    rowv = jnp.repeat(row_ids, slots)
-    anch = jnp.where(V, A, 0).reshape(-1)
-    pos = flat_cumsum(keep.astype(jnp.int32)) - 1
-    total = jnp.where(keep.shape[0] > 0, pos[-1] + 1, 0)
-    dst = jnp.where(keep & (pos < cap2), pos, cap2)     # spills -> dump slot
-    # ONE 2-column scatter (scatters cost per index: two separate (lanes,)
-    # scatters pay 2x — tools/proto_tunnel_costs.py)
-    ra = jnp.stack([jnp.where(keep, rowv, 0), anch], axis=1)
-    buf = jnp.zeros((cap2 + 1, 2), jnp.int32).at[dst].set(ra)
+    cnt = V.sum(axis=1, dtype=jnp.int32)                   # (R,)
+    incl = flat_cumsum(cnt)
+    off = incl - cnt                                       # exclusive cumsum
+    total = incl[-1]
+    # row starts: each row with kept lanes writes its INDEX at its first
+    # output position; indices are unique, spilled rows go out of bounds
+    dst = jnp.where((cnt > 0) & (off < cap2), off, cap2)   # cap2 = oob drop
+    starts = jnp.zeros(cap2, jnp.int32).at[dst].set(
+        jnp.arange(R, dtype=jnp.int32), mode="drop", unique_indices=True)
+    rowp = jax.lax.associative_scan(jnp.maximum, starts)   # fill the gaps
+    # rank of each output slot within its row, then pick that kept lane
+    j = jnp.arange(cap2, dtype=jnp.int32) - jnp.take(off, rowp)
+    keepr = jnp.take(V, rowp, axis=0)                      # (cap2, slots)
+    within = jnp.cumsum(keepr, axis=1, dtype=jnp.int32)
+    hit = (within == (j[:, None] + 1)) & keepr
+    slot = jnp.argmax(hit, axis=1).astype(jnp.int32)
+    vanch = jnp.take_along_axis(jnp.take(A, rowp, axis=0),
+                                slot[:, None], axis=1)[:, 0]
     keep2 = jnp.arange(cap2, dtype=jnp.int32) < jnp.minimum(total, cap2)
+    vrow = jnp.where(keep2, jnp.take(row_ids, rowp), 0)
     n_spilled = jnp.maximum(total - cap2, 0)
-    return buf[:cap2, 0], buf[:cap2, 1], keep2, n_spilled
+    return vrow, jnp.where(keep2, vanch, 0), keep2, n_spilled
 
 
 def dedup_compact(A, V, row_ids, verify_capacity: int | None):

@@ -48,16 +48,17 @@ def main():
             ra, mode="drop", unique_indices=True)
         return buf
 
+    print("[scatter] devices:", jax.devices())
     for name, fn in (("dump-slot (non-unique)", compact_dump),
                      ("oob-drop (unique)", compact_drop)):
         f = jax.jit(fn)
         r = f(keep, rowv, anch)
-        r.block_until_ready()
+        _ = np.asarray(jnp.sum(r[:1]))      # force through the tunnel
         ts = []
         for _ in range(5):
             t0 = time.time()
             r = f(keep, rowv, anch)
-            r.block_until_ready()
+            _ = np.asarray(jnp.sum(r[:1]))
             ts.append(time.time() - t0)
         print(f"[scatter] {name}: median {sorted(ts)[2]*1e3:8.1f} ms")
 
