@@ -144,7 +144,7 @@ def main():
         n_lines = 0
         for sam in dream_map_stream(index, iter(batches), opts, timers=timers):
             n_lines += sum(1 for l in sam.splitlines()
-                           if l and not l.startswith("@"))
+                           if l and not l.startswith(b"@"))
         dt = time.time() - t0
         assert n_lines >= N_READS
         print(f"[bench] pass {rep}: {N_READS} reads in {dt:.2f}s", file=sys.stderr)

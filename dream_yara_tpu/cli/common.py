@@ -70,7 +70,7 @@ class _SamOut:
     def __init__(self, f, close):
         self.f, self._close = f, close
 
-    def write_sam(self, text: str):
+    def write_sam(self, text: str | bytes):
         self.f.write(text)
 
     def close(self):
@@ -82,9 +82,9 @@ def open_output(path: str):
     """SAM text to stdout/file, or BAM/BGZF when the path ends with .bam
     (reference BamFileOut chooses the format by extension [U])."""
     if path in ("-", ""):
-        return _SamOut(sys.stdout, close=False)
+        return _SamOut(sys.stdout.buffer, close=False)
     if path.endswith(".bam"):
         from ..io.bam import BamWriter
 
         return BamWriter(open(path, "wb"))
-    return _SamOut(open(path, "w"), close=True)
+    return _SamOut(open(path, "wb"), close=True)

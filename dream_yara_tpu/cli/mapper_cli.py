@@ -150,7 +150,7 @@ def main(argv=None):
                                            stats=stats) for b in bs),
                 a.output_file)
             if text is not None:
-                sys.stdout.write(text)
+                sys.stdout.buffer.write(text)
         else:
             cmdline = " ".join(argv if argv is not None else sys.argv[1:])
             out = open_output(a.output_file)
@@ -195,7 +195,7 @@ def main(argv=None):
                                         header=False),
             a.output_file)
         if text is not None:
-            sys.stdout.write(text)
+            sys.stdout.buffer.write(text)
         n_reads = stats.get("reads", 0)
     else:
         out = open_output(a.output_file)

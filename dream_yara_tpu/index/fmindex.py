@@ -154,19 +154,31 @@ class FMIndex:
         self.pfx_hi = hi.astype(np.int32)
 
     def subsample_sa(self, rate: int) -> "FMIndex":
-        """Keep SA values at text positions % rate == 0; see ops/locate.py."""
+        """Keep SA values at text positions % rate == 0; see ops/locate.py.
+
+        Rows whose BWT char is a sentinel are ALSO marked: LF through a
+        repeated sentinel is not order-consistent (SA-IS places
+        sentinel-starting suffixes by terminator convention, not by what
+        follows them), so the locate walk must stop before taking that step.
+        Multiples of `rate` all stay marked, so the walk's <= rate-1 trip
+        bound is unchanged; the extra samples cost one int32 + one mark bit
+        per contig boundary.
+        """
         n = self.n
         nw = ((n + 31) // 32 + 3) // 4 * 4      # 4-word groups (device DMA)
         nck = (n + 127) // 128
         mark_bits = np.zeros(nw, dtype=np.uint32)
         rank_ck = np.zeros(nck + 1, dtype=np.int32)
-        samples = np.empty((n + rate - 1) // rate, dtype=np.int32)
+        from ..utils.alphabet import SENTINEL
+        n_sent = int(self.counts[SENTINEL + 1] - self.counts[SENTINEL])
+        samples = np.empty((n + rate - 1) // rate + n_sent, dtype=np.int32)
+        bwt_flat = self.bwt_blocks.reshape(-1)
         shifts = np.arange(32, dtype=np.uint32)
         CH = 1 << 25                            # multiple of 128 and 32
         done = 0
         for c0 in range(0, n, CH):
             sc = self.sa[c0 : c0 + CH]
-            m = sc % rate == 0
+            m = (sc % rate == 0) | (bwt_flat[c0 : c0 + len(sc)] == SENTINEL)
             k = int(m.sum())
             samples[done : done + k] = sc[m]
             done += k
@@ -181,10 +193,10 @@ class FMIndex:
             rank_ck[c0 // 128 + 1 : c0 // 128 + 1 + len(per) // 128] = (
                 per.reshape(-1, 128).sum(axis=1, dtype=np.int32))
         np.cumsum(rank_ck, out=rank_ck)
-        assert done == len(samples), (done, len(samples))
+        assert done <= len(samples), (done, len(samples))
         return FMIndex(
             n=n, bwt_blocks=self.bwt_blocks, occ=self.occ,
-            counts=self.counts, sa=samples, sample_rate=rate,
+            counts=self.counts, sa=samples[:done].copy(), sample_rate=rate,
             sa_mark_bits=mark_bits, sa_rank_ck=rank_ck,
             prefix_q=self.prefix_q, pfx_lo=self.pfx_lo, pfx_hi=self.pfx_hi,
         )

@@ -175,7 +175,9 @@ class BamWriter:
         self.f = fileobj
         self.ref_ids: dict | None = None
 
-    def write_sam(self, sam_text: str):
+    def write_sam(self, sam_text: str | bytes):
+        if isinstance(sam_text, bytes):
+            sam_text = sam_text.decode()   # BAM re-parses fields as str
         lines = sam_text.splitlines()
         if self.ref_ids is None:
             header = [l for l in lines if l.startswith("@")]

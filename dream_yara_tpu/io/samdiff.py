@@ -53,7 +53,9 @@ class SamRecord:
                 self.rname, self.pos, self.flag & 0x10)
 
 
-def parse_sam(text: str) -> list[SamRecord]:
+def parse_sam(text: str | bytes) -> list[SamRecord]:
+    if isinstance(text, bytes):
+        text = text.decode()
     recs = []
     for line in text.splitlines():
         if not line or line.startswith("@"):

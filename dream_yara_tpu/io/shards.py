@@ -67,41 +67,44 @@ class ShardedSamWriter:
             return
         self._atomic_write(hp, header_text)
 
-    def write_batch(self, i: int, records_text: str, n_reads: int) -> bool:
+    def write_batch(self, i: int, records: bytes, n_reads: int) -> bool:
         """Commit batch i's records; returns False if already committed
         (the resume path must then skip the batch's input instead)."""
         if i < self.done_batches:
             return False
         assert i == self.done_batches, \
             f"shards must commit in order (got {i}, expected {self.done_batches})"
-        self._atomic_write(self._shard_path(i), records_text)
+        self._atomic_write(self._shard_path(i), records)
         self.manifest["shards"].append({
             "i": i, "reads": int(n_reads),
-            "records": sum(1 for l in records_text.splitlines() if l)})
+            "records": sum(1 for l in records.splitlines() if l)})
         self.manifest["reads_done"] = self.reads_done + int(n_reads)
         self._atomic_write(self._manifest_path,
                            json.dumps(self.manifest, indent=1))
         return True
 
-    def _atomic_write(self, path: Path, text: str) -> None:
+    def _atomic_write(self, path: Path, data: str | bytes) -> None:
         tmp = path.with_suffix(path.suffix + ".tmp")
-        tmp.write_text(text)
+        if isinstance(data, bytes):
+            tmp.write_bytes(data)
+        else:
+            tmp.write_text(data)
         os.replace(tmp, path)
 
     # --- finish -------------------------------------------------------------
 
     def _iter_texts(self):
-        yield (self.dir / "header.sam").read_text()
+        yield (self.dir / "header.sam").read_bytes()
         for s in self.manifest["shards"]:
-            yield self._shard_path(s["i"]).read_text()
+            yield self._shard_path(s["i"]).read_bytes()
 
-    def finalize(self, out_path: str | None = None) -> str | None:
+    def finalize(self, out_path: str | None = None) -> bytes | None:
         """Assemble header + shards. With out_path, STREAM shard-by-shard to
         that file (BGZF-compressed BAM when it ends with .bam, like the
         direct writer) — never materializing the whole output in memory —
-        and return None; else return the full SAM text."""
+        and return None; else return the full SAM bytes."""
         if out_path is None:
-            return "".join(self._iter_texts())
+            return b"".join(self._iter_texts())
         tmp = Path(str(out_path) + ".tmp")
         if str(out_path).endswith(".bam"):
             from .bam import BamWriter
@@ -110,12 +113,12 @@ class ShardedSamWriter:
             it = self._iter_texts()
             # the BAM header needs @SQ lines: feed header + first shard
             # together, then stream the rest per shard
-            w.write_sam(next(it) + next(it, ""))
+            w.write_sam(next(it) + next(it, b""))
             for text in it:
                 w.write_sam(text)
             w.close()
         else:
-            with open(tmp, "w") as f:
+            with open(tmp, "wb") as f:
                 for text in self._iter_texts():
                     f.write(text)
         os.replace(tmp, out_path)
@@ -128,8 +131,8 @@ def drive_sharded_stream(reader, shard_dir, header_text, make_stream,
     mesh mapper branches): resume past committed shards, map the remaining
     batches through `make_stream(batches) -> iter of header-free SAM texts`
     (order-preserving; may pipeline internally), commit each as a shard,
-    then finalize into out_path. Returns the full SAM text when out_path is
-    '-'/empty (caller prints), else None."""
+    then finalize into out_path. Returns the full SAM bytes when out_path
+    is '-'/empty (caller prints), else None."""
     sw = ShardedSamWriter(shard_dir)
     sw.write_header(header_text)
     batches = skip_reads(reader, sw.reads_done)

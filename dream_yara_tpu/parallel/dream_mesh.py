@@ -302,8 +302,8 @@ class MeshDreamMapper:
 
 def mesh_dream_sam(mapper: MeshDreamMapper, batch: ReadBatch,
                    cmdline: str = "", timers: StageTimers | None = None,
-                   header: bool = True, stats: dict | None = None) -> str:
-    """Full mesh DREAM pipeline -> SAM text (same finishing stages as the
+                   header: bool = True, stats: dict | None = None) -> bytes:
+    """Full mesh DREAM pipeline -> SAM bytes (same finishing stages as the
     single-device dream_map_sam: rank/dedup, PE rescue, CIGAR, writer)."""
     timers = timers or StageTimers()
     m = mapper.map_batch(batch, timers)

@@ -354,8 +354,8 @@ class MultiHostDreamMapper:
 
     def map_sam(self, batch: ReadBatch, cmdline: str = "",
                 timers: StageTimers | None = None, header: bool = True,
-                stats: dict | None = None) -> str | None:
-        """Full pipeline; returns SAM text on process 0, None elsewhere."""
+                stats: dict | None = None) -> bytes | None:
+        """Full pipeline; returns SAM bytes on process 0, None elsewhere."""
         from ..pipeline.cigar import compute_cigars
         from ..pipeline.pairs import select_pairs
         from ..pipeline.writer import (sam_header, write_pe_records,
@@ -392,10 +392,10 @@ class MultiHostDreamMapper:
                                          opts.library_deviation)
             if jax.process_index() != 0:
                 return None
-            head = ("\n".join(sam_header(self.contigs, cmdline,
-                                          read_group=(self.opts.read_group
-                                                      or None))) + "\n"
-                    if header else "")
+            head = (("\n".join(sam_header(self.contigs, cmdline,
+                                           read_group=(self.opts.read_group
+                                                       or None))) + "\n"
+                     ).encode() if header else b"")
             if batch.paired:
                 body = write_pe_records(batch, self.contigs, ranked,
                                         cigars, pair_info,

@@ -302,7 +302,7 @@ def dream_map_sam(index: DreamIndex, batch: ReadBatch, opts: MapperOptions,
 
 def _finish_batch(index: DreamIndex, batch: ReadBatch, m: Matches,
                   opts: MapperOptions, cmdline: str, timers: StageTimers,
-                  header: bool, stats: dict | None) -> str:
+                  header: bool, stats: dict | None) -> bytes:
     rate_ppm = rate_to_ppm(opts.error_rate)
     max_err = max(1, max_errors_for_batch(batch.max_len, opts.error_rate))
 
@@ -334,9 +334,9 @@ def _finish_batch(index: DreamIndex, batch: ReadBatch, m: Matches,
                                      opts.library_length,
                                      opts.library_deviation)
     with timers.stage("sam write (host)"):
-        head = ("\n".join(sam_header(index.contigs, cmdline,
-                                      read_group=opts.read_group or None)) + "\n"
-                if header else "")
+        head = (("\n".join(sam_header(index.contigs, cmdline,
+                                       read_group=opts.read_group or None))
+                 + "\n").encode() if header else b"")
         if batch.paired:
             body = write_pe_records(batch, index.contigs, ranked, cigars,
                                     pair_info,

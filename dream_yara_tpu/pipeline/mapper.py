@@ -321,12 +321,13 @@ def map_single_bin(store: SeqStore, fm: FMIndex, batch: ReadBatch,
 
 
 def single_bin_sam(store: SeqStore, fm: FMIndex, batch: ReadBatch,
-                   opts: MapperOptions, cmdline: str = "") -> str:
+                   opts: MapperOptions, cmdline: str = "") -> bytes:
     if batch.paired:
         return paired_bin_sam(store, fm, batch, opts, cmdline)
     ranked, cigars, contigs = map_single_bin(store, fm, batch, opts)
-    return ("\n".join(sam_header(contigs, cmdline,
-                                  read_group=opts.read_group or None)) + "\n"
+    return (("\n".join(sam_header(contigs, cmdline,
+                                   read_group=opts.read_group or None))
+             + "\n").encode()
             + write_se_records(batch, contigs, ranked, cigars,
                                read_group=opts.read_group or None,
                                secondary_mode=opts.secondary_matches))
@@ -401,12 +402,13 @@ def map_paired_bin(store: SeqStore, fm: FMIndex, batch: ReadBatch,
 
 
 def paired_bin_sam(store: SeqStore, fm: FMIndex, batch: ReadBatch,
-                   opts: MapperOptions, cmdline: str = "") -> str:
+                   opts: MapperOptions, cmdline: str = "") -> bytes:
     from .writer import write_pe_records
 
     ranked, cigars, contigs, pair_info = map_paired_bin(store, fm, batch, opts)
-    return ("\n".join(sam_header(contigs, cmdline,
-                                  read_group=opts.read_group or None)) + "\n"
+    return (("\n".join(sam_header(contigs, cmdline,
+                                   read_group=opts.read_group or None))
+             + "\n").encode()
             + write_pe_records(batch, contigs, ranked, cigars, pair_info,
                                read_group=opts.read_group or None,
                                secondary_mode=opts.secondary_matches))

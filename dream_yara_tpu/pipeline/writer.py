@@ -83,9 +83,9 @@ def sam_header(contigs: GlobalContigs, cmdline: str = "", version: str = "0.1.0"
     return lines
 
 
-def _join(lines: list[str]) -> str:
-    """Record lines -> one SAM text block ('' when there are no records)."""
-    return "\n".join(lines) + "\n" if lines else ""
+def _join(lines: list[str]) -> bytes:
+    """Record lines -> one SAM byte blob (b'' when there are no records)."""
+    return ("\n".join(lines) + "\n").encode() if lines else b""
 
 
 def _pack_cigars(samfmt, cigars, idx, use):
@@ -101,7 +101,7 @@ def _pack_cigars(samfmt, cigars, idx, use):
 
 def _write_se_native(batch: ReadBatch, contigs: GlobalContigs, ranked,
                      cigars: list[str], secondary_mode: str, samfmt,
-                     read_group: str | None = None) -> str:
+                     read_group: str | None = None) -> bytes:
     """Vectorized field prep + C++ byte assembly (same output as the Python
     loop below, asserted by tests)."""
     from .mapq import compute_mapq
@@ -179,14 +179,14 @@ def _write_se_native(batch: ReadBatch, contigs: GlobalContigs, ranked,
             rec["tlen"], seqmat, rec["seq_row"], rec["seq_len"],
             quals_b, qual_off, rec["qual_rev"], has_nm, rec["nm"],
             extra_b, extra_off, cnames_b, cname_off, seq_codes=True)
-        return text.decode()
+        return text
 
     text = samfmt.format_records(
         names_b, name_off, flag, rname, pos1, mapq, cig_b, cig_off,
         rnext, zeros, zeros, seqmat, seq_row, seq_len,
         quals_b, qual_off, qual_rev, mapped.astype(np.uint8), nm,
         extra_b, extra_off, cnames_b, cname_off, seq_codes=True)
-    return text.decode()
+    return text
 
 
 def _expand_secondary(n, mapped, grp_start, grp_end, prim, sec_flag_base,
@@ -238,7 +238,7 @@ def _expand_secondary(n, mapped, grp_start, grp_end, prim, sec_flag_base,
 
 def _write_pe_native(batch: ReadBatch, contigs: GlobalContigs, ranked,
                      cigars: list[str], pair_info, secondary_mode: str,
-                     samfmt, read_group: str | None = None) -> str:
+                     samfmt, read_group: str | None = None) -> bytes:
     """Vectorized PE field prep + C++ byte assembly (mirrors the Python
     write_pe_records loop exactly; tested equal)."""
     from .mapq import compute_mapq
@@ -350,14 +350,14 @@ def _write_pe_native(batch: ReadBatch, contigs: GlobalContigs, ranked,
             rec["tlen"], seqmat, rec["seq_row"], rec["seq_len"],
             quals_b, qual_off, rec["qual_rev"], has_nm, rec["nm"],
             extra_b, extra_off, cnames_b, cname_off, seq_codes=True)
-        return text.decode()
+        return text
 
     text = samfmt.format_records(
         names_b, name_off, flag, rname, pos1, mapq, cig_b, cig_off,
         rnext, pnext, tlen, seqmat, seq_row, seq_len,
         quals_b, qual_off, qual_rev, mapped.astype(np.uint8), nm,
         extra_b, extra_off, cnames_b, cname_off, seq_codes=True)
-    return text.decode()
+    return text
 
 
 def _seq_qual(batch: ReadBatch, read_id: int, strand: int) -> tuple[str, str]:
@@ -373,7 +373,7 @@ def _seq_qual(batch: ReadBatch, read_id: int, strand: int) -> tuple[str, str]:
 def write_pe_records(batch: ReadBatch, contigs: GlobalContigs, ranked,
                      cigars: list[str], pair_info,
                      secondary_mode: str = "tag",
-                     read_group: str | None = None) -> str:
+                     read_group: str | None = None) -> bytes:
     """Paired-end records. Reads [0,h) are first mates, [h,2h) second mates.
 
     TLEN (both mates mapped, same contig): rightmost end - leftmost begin,
@@ -494,7 +494,7 @@ def write_pe_records(batch: ReadBatch, contigs: GlobalContigs, ranked,
 
 def write_se_records(batch: ReadBatch, contigs: GlobalContigs, ranked,
                      cigars: list[str], secondary_mode: str = "tag",
-                     read_group: str | None = None) -> str:
+                     read_group: str | None = None) -> bytes:
     """Single-end records, one primary per read (+ secondaries per mode).
 
     ranked: pipeline.matches.Ranked (canonical order); cigars aligned with
@@ -517,7 +517,7 @@ def write_se_records(batch: ReadBatch, contigs: GlobalContigs, ranked,
 
 def _write_se_python(batch: ReadBatch, contigs: GlobalContigs, ranked,
                      cigars: list[str], secondary_mode: str = "tag",
-                     read_group: str | None = None) -> str:
+                     read_group: str | None = None) -> bytes:
     from .mapq import compute_mapq
 
     m = ranked.matches

@@ -119,7 +119,7 @@ def test_bam_roundtrip_matches_sam(rng):
     reads.append(random_text(rng, 100))  # unmapped record
     batch = ReadBatch.from_reads(names, reads)
     opts = MapperOptions(error_rate=0.03, secondary_matches="tag")
-    sam = dream_map_sam(index, batch, opts, cmdline="bam test")
+    sam = dream_map_sam(index, batch, opts, cmdline="bam test").decode()
 
     buf = io.BytesIO()
     w = BamWriter(buf)

@@ -71,7 +71,7 @@ def test_dream_sam_rname(dream_db):
     rng, genomes, index = dream_db
     batch, truth = planted_batch(rng, genomes, n_per_bin=3)
     opts = MapperOptions(error_rate=0.03)
-    sam = dream_map_sam(index, batch, opts)
+    sam = dream_map_sam(index, batch, opts).decode()
     recs = {l.split("\t")[0]: l.split("\t")
             for l in sam.strip().split("\n") if not l.startswith("@")}
     for rid, (b, p, strand) in enumerate(truth):
@@ -120,20 +120,21 @@ def test_dynamic_update(dream_db):
     p = 1234
     r_new = new_g[p : p + 100]
     nb = ReadBatch.from_reads(["new"], [r_new])
-    sam_new = dream_map_sam(index2, nb, opts)
+    sam_new = dream_map_sam(index2, nb, opts).decode()
     rec = [l.split("\t") for l in sam_new.strip().split("\n")
            if not l.startswith("@")][0]
     assert rec[2] == "b2c0" and int(rec[3]) == p + 1
 
     # reads from untouched bins give byte-identical records
     sam_after = dream_map_sam(index2, batch, opts)
-    rec_b = {l.split("\t")[0]: l for l in sam_before.splitlines()
-             if not l.startswith("@")}
-    rec_a = {l.split("\t")[0]: l for l in sam_after.splitlines()
-             if not l.startswith("@")}
+    rec_b = {l.split(b"\t")[0]: l for l in sam_before.splitlines()
+             if not l.startswith(b"@")}
+    rec_a = {l.split(b"\t")[0]: l for l in sam_after.splitlines()
+             if not l.startswith(b"@")}
     for rid, (b, _, _) in enumerate(truth):
         if b != 2:
-            assert rec_a[batch.names[rid]] == rec_b[batch.names[rid]]
+            name = batch.names[rid].encode()
+            assert rec_a[name] == rec_b[name]
 
 
 def test_metagenomic_skew():
@@ -166,7 +167,7 @@ def test_metagenomic_skew():
     routing = classify_reads(index, batch, opts)
     # selective despite skew: vast majority of (read, bin) pairs pruned
     assert routing.sum() < 60 * 4
-    sam = dream_map_sam(index, batch, opts)
+    sam = dream_map_sam(index, batch, opts).decode()
     recs = {l.split("\t")[0]: l.split("\t")
             for l in sam.splitlines() if not l.startswith("@")}
     correct = sum(1 for i, (b, p) in enumerate(truth)
@@ -201,10 +202,10 @@ def test_stream_multi_batch_order(dream_db):
     from dream_yara_tpu.pipeline.dis_mapper import dream_map_stream
     outs = list(dream_map_stream(index, iter([b1, b2]), opts))
     assert len(outs) == 2
-    assert outs[0].startswith("@HD")
-    assert not outs[1].startswith("@HD")
-    first_names = [l.split("\t")[0] for l in outs[0].splitlines()
-                   if not l.startswith("@")]
+    assert outs[0].startswith(b"@HD")
+    assert not outs[1].startswith(b"@HD")
+    first_names = [l.split(b"\t")[0].decode() for l in outs[0].splitlines()
+                   if not l.startswith(b"@")]
     assert first_names == b1.names
 
 

@@ -64,7 +64,7 @@ def test_two_process_sam_identical(tmp_path):
     # reference: single-process DREAM pipeline on the same DB
     batch = ReadBatch.from_reads(names, reads)
     opts = MapperOptions(error_rate=0.03)
-    ref = dream_map_sam(index, batch, opts, cmdline="multihost_demo")
+    ref = dream_map_sam(index, batch, opts, cmdline="multihost_demo").decode()
 
     env = {**os.environ,
            "JAX_PLATFORMS": "cpu",
@@ -111,7 +111,7 @@ def test_two_process_sampled_sa_identical(tmp_path):
     _write_fastq(tmp_path / "reads.fq", names, reads)
     batch = ReadBatch.from_reads(names, reads)
     opts = MapperOptions(error_rate=0.03)
-    ref = dream_map_sam(index, batch, opts, cmdline="multihost_demo")
+    ref = dream_map_sam(index, batch, opts, cmdline="multihost_demo").decode()
 
     env = {**os.environ,
            "JAX_PLATFORMS": "cpu",
@@ -180,7 +180,7 @@ def test_four_process_uneven_bins(tmp_path):
     _write_fastq(tmp_path / "reads.fq", names, reads)
     batch = ReadBatch.from_reads(names, reads)
     ref = dream_map_sam(index, batch, MapperOptions(error_rate=0.03),
-                        cmdline="multihost_demo")
+                        cmdline="multihost_demo").decode()
     outs = _launch(4, 12511, tmp_path / "db", tmp_path / "reads.fq",
                    tmp_path / "out.sam", local_devices=1)
     sam = (tmp_path / "out.sam").read_text()
@@ -201,7 +201,7 @@ def test_eight_process_option_matrix(tmp_path):
     batch = ReadBatch.from_reads(names, reads)
     opts = MapperOptions(error_rate=0.03, secondary_matches="record",
                          strata_count=1)
-    ref = dream_map_sam(index, batch, opts, cmdline="multihost_demo")
+    ref = dream_map_sam(index, batch, opts, cmdline="multihost_demo").decode()
     _launch(8, 12547, tmp_path / "db", tmp_path / "reads.fq",
             tmp_path / "out.sam", extra=["--sm", "record", "-s", "1"],
             local_devices=1)
@@ -238,7 +238,8 @@ def test_kill_one_process_and_restart(tmp_path):
         b = ReadBatch.from_reads(names[s : s + batch_size],
                                  reads[s : s + batch_size])
         refs.append(dream_map_sam(index, b, MapperOptions(error_rate=0.03),
-                                  cmdline="multihost_demo", header=False))
+                                  cmdline="multihost_demo", header=False
+                                  ).decode())
     ref = ref_head + "".join(refs)
 
     # run 1: pid 1 dies after batch 0 commits; pid 0 hangs on the next

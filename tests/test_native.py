@@ -141,7 +141,7 @@ def test_native_sam_formatter_matches_python(rng):
         got = write_se_records(batch, contigs, ranked, cigars, mode,
                                read_group="lib1")
         assert got == want, f"rg/{mode}"
-        assert "\tRG:Z:lib1" in got
+        assert b"\tRG:Z:lib1" in got
 
 
 def test_native_pe_formatter_matches_python(rng):
@@ -204,7 +204,7 @@ def test_native_pe_formatter_matches_python(rng):
     got = write_pe_records(batch, contigs, ranked, cigars, pi, "tag",
                            read_group="run7")
     assert got == want
-    assert "\tRG:Z:run7" in got
+    assert b"\tRG:Z:run7" in got
 
 
 def test_native_formatter_long_contig_names(rng):
@@ -232,7 +232,7 @@ def test_native_formatter_long_contig_names(rng):
     want = _write_se_python(batch, contigs, ranked, cigars, "tag")
     got = write_se_records(batch, contigs, ranked, cigars, "tag")
     assert got == want
-    assert longname in got
+    assert longname.encode() in got
 
 
 def test_packedstrs_roundtrip_and_gather():

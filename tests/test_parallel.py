@@ -234,8 +234,8 @@ def test_mesh_kmer_direct_identical():
     assert mapper.use_filter and mapper.direct
     assert mesh_dream_sam(mapper, batch) == ref
     n_mapped = sum(1 for l in ref.splitlines()
-                   if l and not l.startswith("@")
-                   and int(l.split("\t")[1]) & 4 == 0)
+                   if l and not l.startswith(b"@")
+                   and int(l.split(b"\t")[1]) & 4 == 0)
     assert n_mapped == batch.n_reads
 
 
@@ -377,9 +377,9 @@ def test_mesh_option_matrix_identical(cassette_db, sm, s):
                          secondary_matches=sm)
     ref = dream_map_sam(index, batch, opts)
     # the option must actually change the output (non-vacuous coverage)
-    body = [l for l in ref.splitlines() if l and not l.startswith("@")]
-    n_sec = sum(1 for l in body if int(l.split("\t")[1]) & 0x100)
-    has_xa = any("XA:Z:" in l for l in body)
+    body = [l for l in ref.splitlines() if l and not l.startswith(b"@")]
+    n_sec = sum(1 for l in body if int(l.split(b"\t")[1]) & 0x100)
+    has_xa = any(b"XA:Z:" in l for l in body)
     if sm == "record":
         assert n_sec > 0, "cassette reads must produce secondary records"
     elif sm == "tag":
@@ -409,8 +409,9 @@ def test_strata_count_widens_reporting(cassette_db):
                          MapperOptions(error_rate=0.03, strata_count=1,
                                        secondary_matches="record"))
     def mapped_sites(sam):
-        return [l.split("\t")[:4] for l in sam.splitlines()
-                if l and not l.startswith("@") and l.split("\t")[2] != "*"]
+        return [l.decode().split("\t")[:4] for l in sam.splitlines()
+                if l and not l.startswith(b"@")
+                and l.split(b"\t")[2] != b"*"]
 
     n0, n1 = len(mapped_sites(sam0)), len(mapped_sites(sam1))
     assert n1 > n0, (n0, n1)

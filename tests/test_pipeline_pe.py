@@ -54,7 +54,7 @@ def test_pe_sam_records(rng):
     store, fm, batch, tlens, poss = make_pe_case(rng, junk_mate2=(0,))
     opts = MapperOptions(error_rate=0.05, library_length=300,
                          library_deviation=50, rescue=False)
-    sam = paired_bin_sam(store, fm, batch, opts)
+    sam = paired_bin_sam(store, fm, batch, opts).decode()
     recs = [l.split("\t") for l in sam.strip().split("\n") if not l.startswith("@")]
     assert len(recs) == batch.n_reads
     by_name = {}

@@ -105,7 +105,7 @@ def test_sam_output_shape():
     rng = np.random.default_rng(3)
     store, fm, batch = make_case(rng, n_reads=10)
     opts = MapperOptions(error_rate=0.05, secondary_matches="tag")
-    sam = single_bin_sam(store, fm, batch, opts, cmdline="test")
+    sam = single_bin_sam(store, fm, batch, opts, cmdline="test").decode()
     lines = sam.strip().split("\n")
     header = [l for l in lines if l.startswith("@")]
     records = [l for l in lines if not l.startswith("@")]
@@ -133,7 +133,7 @@ def test_sam_secondary_records_mode():
     reads = [seg[100:180].copy() for _ in range(3)]
     batch = ReadBatch.from_reads(["a", "b", "c"], reads)
     opts = MapperOptions(error_rate=0.05, secondary_matches="record")
-    sam = single_bin_sam(store, fm, batch, opts)
+    sam = single_bin_sam(store, fm, batch, opts).decode()
     records = [l for l in sam.strip().split("\n") if not l.startswith("@")]
     # each read maps to both copies: 1 primary + 1 secondary
     assert len(records) == 6

@@ -22,15 +22,15 @@ def test_writer_idempotent_resume(tmp_path):
     d = tmp_path / "shards"
     w = ShardedSamWriter(d)
     w.write_header("@HD\tVN:1.6\n")
-    assert w.write_batch(0, "r0\t...\n", 10)
-    assert w.write_batch(1, "r1\t...\n", 10)
+    assert w.write_batch(0, b"r0\t...\n", 10)
+    assert w.write_batch(1, b"r1\t...\n", 10)
     # crash + restart: a fresh writer resumes from the manifest
     w2 = ShardedSamWriter(d)
     assert w2.done_batches == 2 and w2.reads_done == 20
     w2.write_header("@HD\tVN:1.6\n")       # idempotent
-    assert not w2.write_batch(1, "DIFFERENT\n", 10)   # already committed
-    assert w2.write_batch(2, "r2\t...\n", 5)
-    assert w2.finalize(None) == "@HD\tVN:1.6\nr0\t...\nr1\t...\nr2\t...\n"
+    assert not w2.write_batch(1, b"DIFFERENT\n", 10)   # already committed
+    assert w2.write_batch(2, b"r2\t...\n", 5)
+    assert w2.finalize(None) == b"@HD\tVN:1.6\nr0\t...\nr1\t...\nr2\t...\n"
     # a different header means a different run: refuse
     with pytest.raises(RuntimeError):
         ShardedSamWriter(d).write_header("@HD\tVN:1.5\n")

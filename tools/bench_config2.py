@@ -137,7 +137,7 @@ def main():
     for sam in dream_map_stream(index, iter(batches), opts, timers=timers,
                                 stats=stats):
         n_rec += sum(1 for l in sam.splitlines()
-                     if l and not l.startswith("@"))
+                     if l and not l.startswith(b"@"))
     dt = time.time() - t0
     total_reads = 2 * n_pairs
     assert n_rec >= total_reads

@@ -74,7 +74,7 @@ def main():
         for sam in mesh_dream_stream(mapper, batches, timers=timers,
                                      stats=stats):
             n_rec += sum(1 for l in sam.splitlines()
-                         if l and not l.startswith("@"))
+                         if l and not l.startswith(b"@"))
         dt = time.time() - t0
         assert n_rec >= total_reads
         rps_all.append(total_reads / dt)

@@ -144,7 +144,7 @@ def main():
     # warmup on a tiny batch (compile)
     t0 = time.time()
     warm = make_reads(stores, 4096, rng)
-    _ = "".join(mesh_dream_stream(mapper, iter([warm]), timers=timers))
+    _ = b"".join(mesh_dream_stream(mapper, iter([warm]), timers=timers))
     print(f"[c3] warmup(compile): {time.time() - t0:.1f}s", file=sys.stderr)
 
     # median of N timed passes (tunnel noise +-25%, BASELINE.md)
@@ -154,16 +154,16 @@ def main():
         stats = {}
         timers = StageTimers()
         t0 = time.time()
-        out = "".join(mesh_dream_stream(mapper, iter(batches), timers=timers,
+        out = b"".join(mesh_dream_stream(mapper, iter(batches), timers=timers,
                                         stats=stats))
         rps_all.append(n_reads / (time.time() - t0))
         print(f"[c3] pass {pi}: {rps_all[-1]:.0f} reads/s", file=sys.stderr)
         if pi == 0:
             n_rec = sum(1 for l in out.splitlines()
-                        if l and not l.startswith("@"))
+                        if l and not l.startswith(b"@"))
             n_map = sum(1 for l in out.splitlines()
-                        if l and not l.startswith("@")
-                        and int(l.split("\t", 3)[1]) & 4 == 0)
+                        if l and not l.startswith(b"@")
+                        and int(l.split(b"\t", 3)[1]) & 4 == 0)
             timers.report(sys.stderr)
             print(f"[c3] diag: {mapper.fallback_diag}", file=sys.stderr)
             print(f"[c3] mapped {n_map}/{n_rec}", file=sys.stderr)

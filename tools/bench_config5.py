@@ -138,7 +138,7 @@ def main():
         for sam in mesh_dream_stream(mapper, batches, timers=timers,
                                      stats=stats):
             n_rec += sum(1 for l in sam.splitlines()
-                         if l and not l.startswith("@"))
+                         if l and not l.startswith(b"@"))
         rps_all.append(total / (time.time() - t0))
         print(f"[c5] pass {pi}: {rps_all[-1]:.0f} reads/s", file=sys.stderr)
         if pi == 0:

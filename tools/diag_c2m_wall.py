@@ -55,7 +55,7 @@ def main():
     sam = _finish_batch(index, batch, m, opts, "", timers, False, None)
     t_finish = time.time() - t0
     t0 = time.time()
-    n_rec = sum(1 for l in sam.splitlines() if l and not l.startswith("@"))
+    n_rec = sum(1 for l in sam.splitlines() if l and not l.startswith(b"@"))
     t_count = time.time() - t0
     wall = time.time() - W
     print(timers.report(), file=sys.stderr)

@@ -112,7 +112,7 @@ def main():
         if jax.process_index() == 0:
             out_parts.append(sam)
     if jax.process_index() == 0:
-        Path(a.out).write_text("".join(out_parts))
+        Path(a.out).write_bytes(b"".join(out_parts))
         print(f"[mh 0] wrote {a.out}", file=sys.stderr)
 
 

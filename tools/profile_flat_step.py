@@ -91,13 +91,19 @@ def main():
         rs, bs, valid, ovf = slot_pool(cand, t_cap)
         return reads, lengths, rs, bs, valid
 
+    import os
+    use_pallas = os.environ.get("DY_PFS_PALLAS", "0") == "1"
+    cap2v = float(os.environ.get("DY_CAP2V", "2.0"))
+    compact_cap = max(8, int(cap2v * t_cap))
+
     def stage_full(fmset_, fw_, blob_):
         reads, lengths, rs, bs, valid = stage_pool(fmset_, fw_, blob_)
         out = flat_map_step(fmset_, reads, lengths, rs, bs, valid,
                             half_loc=half, rate_ppm=rate_ppm,
                             max_errors=max_err, capacity=8,
                             max_slen=max_slen, prefix_q=prefix_q,
-                            compact_cap=2 * t_cap, uniform_len=uniform)
+                            compact_cap=compact_cap, uniform_len=uniform,
+                            use_pallas=use_pallas)
         return out
 
     def timed(fn, name):
@@ -122,13 +128,14 @@ def main():
                                  half_loc=half, rate_ppm=rate_ppm,
                                  max_errors=max_err, capacity=8,
                                  max_slen=max_slen, prefix_q=prefix_q,
-                                 compact_cap=2 * t_cap, uniform_len=uniform,
-                                 stop_after=which)
+                                 compact_cap=compact_cap,
+                                 uniform_len=uniform, stop_after=which)
         return fn
 
     timed(stage_classify, "classify          ")
     timed(stage_pool, "classify+pool     ")
-    import os
+    print(f"[pfs] use_pallas={use_pallas} cap2v={cap2v} "
+          f"compact_cap={compact_cap}", file=sys.stderr)
     stages = os.environ.get(
         "DY_PFS_STAGES", "search,locate,compact").split(",")
     for st in stages:

@@ -64,7 +64,7 @@ def main(n_pairs=10_000, bins=8, bin_len=1_500_000, read_len=100):
     t0 = time.time()
     sam = dream_map_sam(index, batch, opts)
     dt = time.time() - t0
-    recs = [l.split("\t") for l in sam.splitlines() if not l.startswith("@")]
+    recs = [l.split(b"\t") for l in sam.splitlines() if not l.startswith(b"@")]
     assert len(recs) == 2 * n_pairs, len(recs)
 
     by = {}
@@ -72,11 +72,11 @@ def main(n_pairs=10_000, bins=8, bin_len=1_500_000, read_len=100):
         by.setdefault(r[0], []).append(r)
     proper = mapped = correct = 0
     for i, (b, p, t) in enumerate(truth):
-        rr = by[f"p{i}"]
+        rr = by[f"p{i}".encode()]
         f1 = next(r for r in rr if int(r[1]) & 0x40)
         if not int(f1[1]) & 0x4:
             mapped += 1
-            if f1[2] == f"chr{b}" and int(f1[3]) == p + 1:
+            if f1[2] == f"chr{b}".encode() and int(f1[3]) == p + 1:
                 correct += 1
         if int(f1[1]) & 0x2:
             proper += 1
