@@ -13,6 +13,7 @@ LIBS = {
     "libdysamfmt.so": ["samfmt.cpp"],
     "libdyscatter.so": ["scatter.cpp"],
     "libdyseqio.so": ["seqio.cpp"],
+    "libdyreadpack.so": ["readpack.cpp"],
 }
 
 

@@ -13,17 +13,35 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def pack_reads_fwd(seqs_fwd: np.ndarray, half: int, L: int):
+def pack_reads_fwd(seqs_fwd: np.ndarray, half: int, L: int,
+                   packed_out: np.ndarray | None = None,
+                   nmask_out: np.ndarray | None = None):
     """Host-side: 2-bit-pack forward read rows + N bitmask for upload.
 
     The axon tunnel moves ~40MB/s host->device with ~200ms fixed cost per
     transfer; uploading raw (R2, L) int8 read matrices dominated the device
     step. Packed fwd rows are ~9x smaller (2 bits/base, half the rows — the
     rc rows are recomputed on device by unpack_reads).
+
+    Dispatches to the native C++ packer (native/readpack.cpp, ~20ms vs
+    ~1.6s numpy at 250k x 150bp — the numpy edition's uint32 temporaries
+    dominated mesh dispatch wall time); the numpy path below is the oracle.
+    packed_out/nmask_out let callers pack straight into a blob slice.
     """
     k = seqs_fwd.shape[0]
     Wp = (L + 15) // 16
     Wn = (L + 31) // 32
+    try:
+        from ..native import readpack as _native
+    except ImportError:
+        _native = None
+    if _native is not None and _native.available():
+        if packed_out is None:
+            packed_out = np.empty((half, Wp), dtype=np.uint32)
+        if nmask_out is None:
+            nmask_out = np.empty((half, Wn), dtype=np.uint32)
+        _native.pack_reads(seqs_fwd, half, L, packed_out, nmask_out)
+        return packed_out, nmask_out
     codes = np.zeros((half, Wp * 16), dtype=np.uint32)
     isn = np.zeros((half, Wn * 32), dtype=np.uint32)
     codes[:k, :L] = (seqs_fwd & 3).astype(np.uint32)
@@ -34,6 +52,10 @@ def pack_reads_fwd(seqs_fwd: np.ndarray, half: int, L: int):
     packed = (codes.reshape(half, Wp, 16) << sh2).sum(axis=2, dtype=np.uint32)
     sh1 = np.arange(32, dtype=np.uint32)[None, None, :]
     nmask = (isn.reshape(half, Wn, 32) << sh1).sum(axis=2, dtype=np.uint32)
+    if packed_out is not None:
+        packed_out[:] = packed
+        nmask_out[:] = nmask
+        return packed_out, nmask_out
     return packed, nmask
 
 
@@ -69,10 +91,17 @@ def pack_blob_with_lengths(seqs_fwd: np.ndarray, lengths: np.ndarray,
     """One contiguous uint32 upload: [packed | nmask | lengths-as-uint32].
 
     Each host->device transfer pays a fixed tunnel cost, so the three packed
-    arrays ship as a single blob; unpack_blob splits it on device."""
-    packed, nmask = pack_reads_fwd(seqs_fwd, half, L)
-    return np.concatenate([packed.ravel(), nmask.ravel(),
-                           lengths.astype(np.int32).view(np.uint32)])
+    arrays ship as a single blob; unpack_blob splits it on device. The
+    packers fill blob slices directly (no concatenate copy)."""
+    Wp = (L + 15) // 16
+    Wn = (L + 31) // 32
+    nl = len(lengths)
+    blob = np.empty(half * (Wp + Wn) + nl, dtype=np.uint32)
+    pack_reads_fwd(seqs_fwd, half, L,
+                   packed_out=blob[: half * Wp].reshape(half, Wp),
+                   nmask_out=blob[half * Wp : half * (Wp + Wn)].reshape(half, Wn))
+    blob[half * (Wp + Wn) :] = lengths.astype(np.int32).view(np.uint32)
+    return blob
 
 
 def unpack_blob(blob: jnp.ndarray, half: int, L: int):

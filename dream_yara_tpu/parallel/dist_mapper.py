@@ -122,11 +122,13 @@ def build_mesh_dream_step(mesh: Mesh, *, half_loc: int, L: int, B: int,
     t_cap = r_cap
     import os
 
-    # global verify budget: ~1 lane per slot row at the default factor 2.0
-    # (measured spill-free on configs 2/5). DY_CAP2V tightens it for the
-    # verify-cost A/B (docs/ROADMAP.md item 7) — spills drain via the host
-    # fallback, so correctness is unaffected.
-    cap2v = max(8, int(float(os.environ.get("DY_CAP2V", "2.0")) * t_cap))
+    # global verify budget as a multiple of the slot pool. A/B on hardware
+    # (round 3): 1.25 is spill-free on configs 2/5 and beats 2.0 by ~25%
+    # median (84.8k vs 67.0k reads/s/chip back-to-back on config-2 — fewer
+    # verify lanes AND a 25% smaller begin/end/meta fetch through the
+    # tunnel). Spills drain via the host fallback, so a workload that
+    # exceeds the budget loses speed, never matches; DY_CAP2V overrides.
+    cap2v = max(8, int(float(os.environ.get("DY_CAP2V", "1.25")) * t_cap))
     Wb_in = (B + 31) // 32
 
     def local_step(fmset: DeviceFMSet, filter_words, blob, route_in):

@@ -258,3 +258,30 @@ def test_packedstrs_roundtrip_and_gather():
     # all-empty gather
     buf, off = PackedStrs.from_list(["", ""]).gather(np.array([0, 1]))
     assert buf.size == 0 and off.tolist() == [0, 0, 0]
+
+
+def test_native_readpack_matches_numpy(rng):
+    """The C++ 2-bit packer is bit-identical to the numpy oracle for all
+    word boundary cases: N/junk codes, short reads, pad rows, L not a
+    multiple of 16 or 32."""
+    import dream_yara_tpu.native.readpack as nrp
+    import dream_yara_tpu.ops.readpack as rp
+
+    if not nrp.available():
+        pytest.skip("native readpack unavailable")
+    for (k, half, L) in [(7, 8, 33), (100, 100, 150), (250, 256, 101),
+                         (5, 9, 64), (3, 3, 16), (1, 4, 31)]:
+        seqs = rng.integers(0, 6, (k, L)).astype(np.int8)  # incl. N=4, junk
+        lengths = rng.integers(L // 2, L + 1, k).astype(np.int64)
+        orig = nrp.available
+        nrp.available = lambda: False          # force the numpy oracle
+        try:
+            p0, n0 = rp.pack_reads_fwd(seqs, half, L)
+            b0 = rp.pack_blob_with_lengths(seqs, lengths, half, L)
+        finally:
+            nrp.available = orig
+        p1, n1 = rp.pack_reads_fwd(seqs, half, L)
+        b1 = rp.pack_blob_with_lengths(seqs, lengths, half, L)
+        assert np.array_equal(p0, p1), (k, half, L)
+        assert np.array_equal(n0, n1), (k, half, L)
+        assert np.array_equal(b0, b1), (k, half, L)

@@ -93,7 +93,7 @@ def main():
 
     import os
     use_pallas = os.environ.get("DY_PFS_PALLAS", "0") == "1"
-    cap2v = float(os.environ.get("DY_CAP2V", "2.0"))
+    cap2v = float(os.environ.get("DY_CAP2V", "1.25"))
     compact_cap = max(8, int(cap2v * t_cap))
 
     def stage_full(fmset_, fw_, blob_):
