@@ -123,35 +123,74 @@ def _count_rows_blocked(filter_words, mixf, lanes_valid, n_hashes: int,
                         wd_count: int | None = None):
     """Blocked-layout counts: all n_hashes probes of a window live in ONE
     512 B block (row ids block*S + p_j — bit-identical to index/
-    hashing.ibf_blocked_rows), so the per-hash 1-D gathers of _count_rows
-    hit the same HBM line instead of n_hashes scattered lines. The earlier
-    variant gathered the whole (N, 128) block row and one-hot selected
-    on-VPU — fewer gather indices, but it materializes 512 B per window:
-    15.7 GiB of HLO temp at config-2 batch shapes (OOM on a 16 GiB v5e).
-    Per-probe gathers keep the locality win at 4 B per probe.
+    hashing.ibf_blocked_rows), fetched with ONE block-row gather per
+    window + an on-VPU one-hot probe select. Gathers on TPU pay per
+    INDEX, not per byte (round-3 measurement: 3 per-probe single-word
+    gathers ran at ~83M idx/s = 1.27s at config-2 batch shapes; one
+    block-row gather + one-hot select of the same words is 0.32s,
+    checksum-identical — tools/proto_classify_cost.py blockrow).
+
+    The round-2 block-row attempt OOM'd because it gathered the full
+    512 B row for the WHOLE batch at once (15.7 GiB temp); this one
+    chunks the window axis (lax.map) so the materialized rows stay
+    ~1 GiB, and gathers only the counted words (wd_count) of each row.
 
     wd_count: count only the first wd_count words per row (the words that
     hold real bins — the artifact pads bins to 64, so a B<=32 filter
-    carries an always-zero second word; gathers pay per index, so skipping
-    it halves the classify gather count). Row GEOMETRY always uses the
+    carries an always-zero second word). Row GEOMETRY always uses the
     artifact's full words-per-row."""
     from ..index.hashing import BLOCK_WORDS
 
     n_rows, Wd = filter_words.shape
     S = BLOCK_WORDS // Wd
     n_blocks = n_rows // S
-    v0 = _fmix32(mixf ^ jnp.uint32(HASH_SEEDS[0]))
-    block = (v0 & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32) % jnp.int32(n_blocks)
-    v1 = _fmix32(mixf ^ jnp.uint32(HASH_SEEDS[1]))
-    base = v1 & jnp.uint32(S - 1)
-    stride = ((v1 >> jnp.uint32(8)) & jnp.uint32(S - 1)) | jnp.uint32(1)
-    rows_by_hash = []
-    for j in range(n_hashes):
-        pj = (base + jnp.uint32(j) * stride) & jnp.uint32(S - 1)
-        rows_by_hash.append(block * S + pj.astype(jnp.int32))
-    if wd_count is not None and wd_count < Wd:
-        filter_words = filter_words[:, :wd_count]
-    return _count_rows(filter_words, rows_by_hash, lanes_valid)
+    wdc = Wd if wd_count is None else min(wd_count, Wd)
+    R, M = lanes_valid.shape
+    # (n_blocks, S, wdc) row-major: probe p's word w sits at p*wdc + w
+    rows = (filter_words[:, :wdc] if wdc < Wd else filter_words)
+    rows = rows.reshape(n_blocks, S * wdc)
+
+    # chunk so the gathered (c*M, S*wdc) uint32 rows stay ~<= 1 GiB
+    lane_budget = (1 << 28) // (S * wdc)
+    c = max(1, min(R, lane_budget // max(M, 1)))
+    n_chunks = -(-R // c)
+    pad = n_chunks * c - R
+    mix2 = mixf.reshape(R, M)
+    if pad:
+        mix2 = jnp.pad(mix2, ((0, pad), (0, 0)))
+        lanes_valid = jnp.pad(lanes_valid, ((0, pad), (0, 0)))
+
+    def one_chunk(args):
+        mixc, vc = args                                   # (c, M)
+        mf = mixc.reshape(-1)
+        v0 = _fmix32(mf ^ jnp.uint32(HASH_SEEDS[0]))
+        block = (v0 & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32) \
+            % jnp.int32(n_blocks)
+        v1 = _fmix32(mf ^ jnp.uint32(HASH_SEEDS[1]))
+        base = v1 & jnp.uint32(S - 1)
+        stride = ((v1 >> jnp.uint32(8)) & jnp.uint32(S - 1)) | jnp.uint32(1)
+        br = jnp.take(rows, block, axis=0)                # (c*M, S*wdc)
+        iota = jnp.arange(S * wdc, dtype=jnp.uint32)[None, :]
+        anded = None
+        for j in range(n_hashes):
+            pj = (base + jnp.uint32(j) * stride) & jnp.uint32(S - 1)
+            sel = (iota // jnp.uint32(wdc)) == pj[:, None]
+            gw = jnp.where(sel, br, jnp.uint32(0))
+            gw = gw.reshape(-1, S, wdc).sum(axis=1, dtype=jnp.uint32)
+            anded = gw if anded is None else (anded & gw)
+        anded = jnp.where(vc.reshape(-1)[:, None], anded, jnp.uint32(0))
+        shifts = jnp.arange(32, dtype=jnp.uint32)
+        bits = ((anded[:, :, None] >> shifts) & 1).astype(jnp.int32)
+        return bits.reshape(c, M, wdc * 32).sum(axis=1)   # (c, wdc*32)
+
+    if n_chunks == 1:
+        counts = one_chunk((mix2, lanes_valid))
+    else:
+        counts = jax.lax.map(
+            one_chunk, (mix2.reshape(n_chunks, c, M),
+                        lanes_valid.reshape(n_chunks, c, M))).reshape(
+                            n_chunks * c, wdc * 32)
+    return counts[:R].reshape(R, wdc, 32)
 
 
 def _count_rows(filter_words, rows_by_hash, lanes_valid):
