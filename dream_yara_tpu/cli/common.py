@@ -71,7 +71,8 @@ class _SamOut:
         self.f, self._close = f, close
 
     def write_sam(self, text: str | bytes):
-        self.f.write(text)
+        # the underlying stream is always binary; accept str like BamWriter
+        self.f.write(text.encode() if isinstance(text, str) else text)
 
     def close(self):
         if self._close:

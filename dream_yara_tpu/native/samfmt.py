@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import ctypes
+import threading
 
 import numpy as np
 
@@ -68,7 +69,10 @@ def pack_strs(items: list[bytes]) -> tuple[np.ndarray, np.ndarray]:
 # np.empty per call costs a ~0.7 s page-fault storm on first touch inside
 # the C loop (measured: first call lib=0.80s, warm reuse 0.06s for the same
 # 250k-record batch); keeping the arena alive makes every batch warm.
-_scratch = np.empty(0, dtype=np.uint8)
+# One arena per thread: format_records may run on a worker thread while the
+# main thread finishes a previous batch, and a shared buffer would
+# interleave two batches' bytes.
+_tls = threading.local()
 
 
 def format_records(names_b, name_off, flag, rname_idx, pos1, mapq,
@@ -77,7 +81,6 @@ def format_records(names_b, name_off, flag, rname_idx, pos1, mapq,
                    quals_b, qual_off, qual_rev, has_nm, nm,
                    extra_b, extra_off, cnames_b, cname_off,
                    seq_codes: bool = False) -> bytes:
-    global _scratch
     lib = _load()
     if lib is None:
         raise RuntimeError("native samfmt unavailable")
@@ -102,10 +105,11 @@ def format_records(names_b, name_off, flag, rname_idx, pos1, mapq,
     max_cname = int(np.max(np.diff(cname_off))) if len(cname_off) > 1 else 1
     cap = int(name_off[-1] + cig_off[-1] + int(seq_len.sum()) + qual_off[-1]
               + extra_off[-1] + (2 * max_cname + 256) * n + 1024)
-    if _scratch.shape[0] < cap:
-        _scratch = np.empty(cap + cap // 4, dtype=np.uint8)
-        _scratch[::4096] = 0          # pre-fault once, outside the C loop
-    out = _scratch
+    out = getattr(_tls, "scratch", None)
+    if out is None or out.shape[0] < cap:
+        out = np.empty(cap + cap // 4, dtype=np.uint8)
+        out[::4096] = 0               # pre-fault once, outside the C loop
+        _tls.scratch = out
     seqmat = np.ascontiguousarray(seqmat, dtype=np.uint8)
     total = lib.dy_format_records(
         n, _p8(names_b), _p64(name_off),

@@ -52,10 +52,13 @@ def pack_reads_fwd(seqs_fwd: np.ndarray, half: int, L: int,
     packed = (codes.reshape(half, Wp, 16) << sh2).sum(axis=2, dtype=np.uint32)
     sh1 = np.arange(32, dtype=np.uint32)[None, None, :]
     nmask = (isn.reshape(half, Wn, 32) << sh1).sum(axis=2, dtype=np.uint32)
+    # mirror the native branch: each output buffer is optional independently
     if packed_out is not None:
         packed_out[:] = packed
+        packed = packed_out
+    if nmask_out is not None:
         nmask_out[:] = nmask
-        return packed_out, nmask_out
+        nmask = nmask_out
     return packed, nmask
 
 

@@ -364,7 +364,9 @@ def global_compact(A, V, row_ids, cap2: int):
     cnt = V.sum(axis=1, dtype=jnp.int32)                   # (R,)
     incl = flat_cumsum(cnt)
     off = incl - cnt                                       # exclusive cumsum
-    total = incl[-1]
+    # R is a static positive cap everywhere today; keep the zero-row case
+    # well-defined rather than indexing incl[-1] on an empty array
+    total = incl[-1] if R > 0 else jnp.int32(0)
     # row starts: each row with kept lanes writes its INDEX at its first
     # output position; indices are unique, spilled rows go out of bounds
     dst = jnp.where((cnt > 0) & (off < cap2), off, cap2)   # cap2 = oob drop
