@@ -74,24 +74,23 @@ def make_reads(store, n_reads):
 def _probe_device(timeout_s: float = 300.0) -> bool:
     """Fail fast when the TPU tunnel is wedged: a dead relay makes every
     device op block FOREVER (observed in round 2), which would hang the
-    whole bench run. Probe a trivial op in a daemon thread and give up
-    loudly after timeout_s."""
-    import threading
+    whole bench run. The probe runs in a SUBPROCESS: a JAX runtime that
+    ever wedged on a dead tunnel stays poisoned after the tunnel returns
+    (observed round 4 — an in-thread probe kept failing while a fresh
+    process succeeded), and probing in-process would poison OUR runtime
+    before the real run."""
+    import subprocess
 
-    ok = []
-
-    def probe():
-        import jax
-        import jax.numpy as jnp
-
-        x = np.asarray(jnp.sum(jnp.ones((8, 8)) @ jnp.ones((8, 8))))
-        if float(x) == 8 * 8 * 8:
-            ok.append(True)
-
-    t = threading.Thread(target=probe, daemon=True)
-    t.start()
-    t.join(timeout_s)
-    return bool(ok)
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax, jax.numpy as jnp;"
+             "x = (jnp.ones((8, 8)) @ jnp.ones((8, 8))).sum();"
+             "assert float(x) == 512.0"],
+            timeout=timeout_s, capture_output=True)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
 
 
 LAST_GOOD = CACHE / "last_good.json"

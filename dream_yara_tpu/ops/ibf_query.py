@@ -314,18 +314,20 @@ def ibf_classify_packed(filter_words, blob, *, half: int, L: int,
     orientations, and bit-pack the (reads, bins) candidate mask so the
     device->host fetch is one small array (SURVEY.md §3.1 HOT LOOP 1 with
     tunnel-aware I/O)."""
-    from .readpack import unpack_blob, unpack_reads
+    from .readpack import unpack_blob, unpack_fwd, unpack_reads
 
     packed, nmask, lengths = unpack_blob(blob, half, L)
-    reads = unpack_reads(packed, nmask, lengths, L)          # (R2, L)
     if canonical:
         # canonical values cover both orientations: hash forward rows only
-        counts, n_sel = ibf_bin_counts(filter_words, reads[:half], lengths,
+        # (and skip the revcomp log-roll reconstruction entirely)
+        fwd = unpack_fwd(packed, nmask, lengths, L)           # (half, L)
+        counts, n_sel = ibf_bin_counts(filter_words, fwd, lengths,
                                        k, n_hashes, window, canonical=True,
                                        blocked=blocked, n_bins=n_bins)
         thr = classify_thresholds(lengths, n_sel, k, window, rate_ppm)
         cand = counts >= thr[:, None]                         # (half, Bp)
     else:
+        reads = unpack_reads(packed, nmask, lengths, L)       # (R2, L)
         lengths2 = jnp.concatenate([lengths, lengths])
         counts, n_sel = ibf_bin_counts(filter_words, reads, lengths2, k,
                                        n_hashes, window, blocked=blocked,

@@ -62,18 +62,29 @@ def pack_reads_fwd(seqs_fwd: np.ndarray, half: int, L: int,
     return packed, nmask
 
 
-def unpack_reads(packed: jnp.ndarray, nmask: jnp.ndarray,
-                 lengths: jnp.ndarray, L: int) -> jnp.ndarray:
-    """Device-side inverse of pack_reads_fwd: (R2, L) int8 rows
-    [fwd | revcomp] matching ReadBatch layout (pads = N)."""
+def unpack_fwd(packed: jnp.ndarray, nmask: jnp.ndarray,
+               lengths: jnp.ndarray, L: int) -> jnp.ndarray:
+    """Forward rows only: (half, L) int8, pads/N = 4. Bit-identical to
+    unpack_reads(...)[:half] without the revcomp log-roll — canonical-mode
+    classify needs only forward rows (canonical k-mers cover both strands),
+    and the roll is ~log2(L) whole-matrix selects of wasted work there."""
     half = packed.shape[0]
     sh2 = (jnp.arange(16, dtype=jnp.uint32) * 2)[None, None, :]
     chars = ((packed[:, :, None] >> sh2) & 3).reshape(half, -1)[:, :L]
     sh1 = jnp.arange(32, dtype=jnp.uint32)[None, None, :]
     isn = ((nmask[:, :, None] >> sh1) & 1).reshape(half, -1)[:, :L]
     j = jnp.arange(L, dtype=jnp.int32)[None, :]
-    fwd = jnp.where((isn == 1) | (j >= lengths[:, None]),
-                    jnp.uint32(4), chars).astype(jnp.int8)
+    return jnp.where((isn == 1) | (j >= lengths[:, None]),
+                     jnp.uint32(4), chars).astype(jnp.int8)
+
+
+def unpack_reads(packed: jnp.ndarray, nmask: jnp.ndarray,
+                 lengths: jnp.ndarray, L: int) -> jnp.ndarray:
+    """Device-side inverse of pack_reads_fwd: (R2, L) int8 rows
+    [fwd | revcomp] matching ReadBatch layout (pads = N)."""
+    half = packed.shape[0]
+    fwd = unpack_fwd(packed, nmask, lengths, L)
+    j = jnp.arange(L, dtype=jnp.int32)[None, :]
 
     # rc row: complement(reverse(fwd)) left-rolled by (L - l), pads N
     flip = fwd[:, ::-1]
