@@ -119,8 +119,32 @@ def minimizer_select_dev(mix: jnp.ndarray, valid: jnp.ndarray,
     return sel & valid
 
 
+def host_block_rows(words, n_bins: int = 0):
+    """Host-side block-row layout for the device: slice the counted words
+    and reshape (n_rows, Wd) -> (n_blocks, S*wdc) with numpy BEFORE upload.
+
+    Mandatory at scale: a device-side reshape of an (n_rows, 2)-shaped
+    filter forces an XLA relayout copy whose (8,128)-tiled form pads the
+    minor dim 2 -> 128 — a 64x allocation (196 GB for the 3 GB config-3
+    filter, compile-time OOM, round 4). The (n_blocks, 128) layout is
+    dense-minor and uploads/gathers with zero padding. Returns
+    (rows, block_s) where block_s = S is the probe count per block that
+    _count_rows_blocked needs for the in-block hash math."""
+    import numpy as np
+
+    from ..index.hashing import BLOCK_WORDS
+
+    words = np.asarray(words)
+    n_rows, Wd = words.shape
+    S = BLOCK_WORDS // Wd
+    wdc = min(Wd, max(1, (n_bins + 31) // 32)) if n_bins > 0 else Wd
+    n_blocks = n_rows // S
+    rows = np.ascontiguousarray(words[:, :wdc]).reshape(n_blocks, S * wdc)
+    return rows, S
+
+
 def _count_rows_blocked(filter_words, mixf, lanes_valid, n_hashes: int,
-                        wd_count: int | None = None):
+                        wd_count: int | None = None, block_s: int = 0):
     """Blocked-layout counts: all n_hashes probes of a window live in ONE
     512 B block (row ids block*S + p_j — bit-identical to index/
     hashing.ibf_blocked_rows), fetched with ONE block-row gather per
@@ -138,17 +162,28 @@ def _count_rows_blocked(filter_words, mixf, lanes_valid, n_hashes: int,
     wd_count: count only the first wd_count words per row (the words that
     hold real bins — the artifact pads bins to 64, so a B<=32 filter
     carries an always-zero second word). Row GEOMETRY always uses the
-    artifact's full words-per-row."""
+    artifact's full words-per-row.
+
+    block_s > 0: filter_words is ALREADY the (n_blocks, S*wdc) block-row
+    layout from host_block_rows (S = block_s) — the required form at scale;
+    the in-program reshape below relayouts through a 64x-padded tiled copy
+    when Wd is tiny (round-4 config-3 compile OOM)."""
     from ..index.hashing import BLOCK_WORDS
 
-    n_rows, Wd = filter_words.shape
-    S = BLOCK_WORDS // Wd
-    n_blocks = n_rows // S
-    wdc = Wd if wd_count is None else min(wd_count, Wd)
+    if block_s > 0:
+        S = block_s
+        n_blocks, sw = filter_words.shape
+        wdc = sw // S
+        rows = filter_words
+    else:
+        n_rows, Wd = filter_words.shape
+        S = BLOCK_WORDS // Wd
+        n_blocks = n_rows // S
+        wdc = Wd if wd_count is None else min(wd_count, Wd)
+        # (n_blocks, S, wdc) row-major: probe p's word w sits at p*wdc + w
+        rows = (filter_words[:, :wdc] if wdc < Wd else filter_words)
+        rows = rows.reshape(n_blocks, S * wdc)
     R, M = lanes_valid.shape
-    # (n_blocks, S, wdc) row-major: probe p's word w sits at p*wdc + w
-    rows = (filter_words[:, :wdc] if wdc < Wd else filter_words)
-    rows = rows.reshape(n_blocks, S * wdc)
 
     # chunk so the gathered (c*M, S*wdc) uint32 rows stay ~<= 1 GiB
     lane_budget = (1 << 28) // (S * wdc)
@@ -223,7 +258,8 @@ def ibf_bin_counts(filter_words: jnp.ndarray, reads: jnp.ndarray,
                    window: int = 0, canonical: bool = False,
                    blocked: bool = False,
                    direct: bool = False,
-                   n_bins: int = 0) -> tuple[jnp.ndarray, jnp.ndarray]:
+                   n_bins: int = 0,
+                   block_s: int = 0) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Per-bin (selected-)k-mer hit counts for each read row.
 
     filter_words: (n_rows, Wd) uint32; reads: (R, L) int8. Returns
@@ -261,10 +297,11 @@ def ibf_bin_counts(filter_words: jnp.ndarray, reads: jnp.ndarray,
     # TPU-tiled minor dimension
     mixf = mix.reshape(-1)                                     # (R*m,)
     if blocked:
-        wd_count = (min(filter_words.shape[1], max(1, (n_bins + 31) // 32))
-                    if n_bins > 0 else None)
+        wd_count = (None if block_s > 0 else
+                    (min(filter_words.shape[1], max(1, (n_bins + 31) // 32))
+                     if n_bins > 0 else None))
         counts = _count_rows_blocked(filter_words, mixf, valid, n_hashes,
-                                     wd_count)
+                                     wd_count, block_s=block_s)
         return counts.reshape(R, -1), n_sel
     if direct:
         # direct-addressing filter (index/kdx.py): the row IS the packed
@@ -303,12 +340,12 @@ def ibf_candidates(filter_words, reads, lengths, k, n_hashes, thresholds,
 @functools.partial(jax.jit,
                    static_argnames=("half", "L", "k", "n_hashes", "rate_ppm",
                                     "window", "canonical", "blocked",
-                                    "direct", "n_bins"))
+                                    "direct", "n_bins", "block_s"))
 def ibf_classify_packed(filter_words, blob, *, half: int, L: int,
                         k: int, n_hashes: int, rate_ppm: int,
                         window: int = 0, canonical: bool = False,
                         blocked: bool = False, direct: bool = False,
-                        n_bins: int = 0):
+                        n_bins: int = 0, block_s: int = 0):
     """Whole-batch classification from packed uploads: unpack fwd+rc rows on
     device, count (selected) k-mers per bin, threshold, OR the two
     orientations, and bit-pack the (reads, bins) candidate mask so the
@@ -323,7 +360,8 @@ def ibf_classify_packed(filter_words, blob, *, half: int, L: int,
         fwd = unpack_fwd(packed, nmask, lengths, L)           # (half, L)
         counts, n_sel = ibf_bin_counts(filter_words, fwd, lengths,
                                        k, n_hashes, window, canonical=True,
-                                       blocked=blocked, n_bins=n_bins)
+                                       blocked=blocked, n_bins=n_bins,
+                                       block_s=block_s)
         thr = classify_thresholds(lengths, n_sel, k, window, rate_ppm)
         cand = counts >= thr[:, None]                         # (half, Bp)
     else:
@@ -331,7 +369,8 @@ def ibf_classify_packed(filter_words, blob, *, half: int, L: int,
         lengths2 = jnp.concatenate([lengths, lengths])
         counts, n_sel = ibf_bin_counts(filter_words, reads, lengths2, k,
                                        n_hashes, window, blocked=blocked,
-                                       direct=direct, n_bins=n_bins)
+                                       direct=direct, n_bins=n_bins,
+                                       block_s=block_s)
         thr = classify_thresholds(lengths2, n_sel, k, window, rate_ppm)
         mask = counts >= thr[:, None]
         cand = mask[:half] | mask[half:]                      # (half, Bp)

@@ -91,7 +91,7 @@ def build_mesh_dream_step(mesh: Mesh, *, half_loc: int, L: int, B: int,
                           use_filter: bool = True, uniform_len: bool = False,
                           route_override: bool = False,
                           canonical: bool = False, blocked: bool = False,
-                          direct: bool = False):
+                          direct: bool = False, block_s: int = 0):
     """Jitted sharded step: (fmset, filter_words, blob[, route_words])
     -> MeshMapOut.
 
@@ -147,13 +147,14 @@ def build_mesh_dream_step(mesh: Mesh, *, half_loc: int, L: int, B: int,
             counts, n_sel = ibf_bin_counts(filter_words, reads[:half_loc],
                                            lengths, k, n_hashes, window,
                                            canonical=True, blocked=blocked,
-                                           n_bins=B)
+                                           n_bins=B, block_s=block_s)
             thr = classify_thresholds(lengths, n_sel, k, window, rate_ppm)
             cand = (counts >= thr[:, None])[:, :B]
         elif use_filter:
             counts, n_sel = ibf_bin_counts(filter_words, reads, lengths2, k,
                                            n_hashes, window, blocked=blocked,
-                                           direct=direct, n_bins=B)
+                                           direct=direct, n_bins=B,
+                                           block_s=block_s)
             cand = routing_from_counts(counts, n_sel, lengths2, k, window,
                                        rate_ppm, half_loc)
             cand = cand[:, :B]

@@ -65,9 +65,18 @@ class MeshDreamMapper:
             # and a B<=32-bin database only ever consults word 0. Blocked
             # filters keep their full width (block geometry is built-in).
             self.blocked = bool(getattr(index.filter, "blocked", 0))
-            wd_need = (index.filter.words.shape[1] if self.blocked
-                       else max(1, (self.B + 31) // 32))
-            words = np.asarray(index.filter.words)[:, :wd_need]
+            if self.blocked:
+                # block-row layout (n_blocks, S*wdc), reshaped on HOST: a
+                # device-side reshape of an (n_rows, 2) filter relayouts
+                # through a 64x-padded tiled copy (config-3 compile OOM)
+                from ..ops.ibf_query import host_block_rows
+
+                words, self.block_s = host_block_rows(
+                    index.filter.words, self.B)
+            else:
+                self.block_s = 0
+                wd_need = max(1, (self.B + 31) // 32)
+                words = np.asarray(index.filter.words)[:, :wd_need]
             self.filter_words = jax.device_put(
                 jnp.asarray(words),
                 jax.sharding.NamedSharding(self.mesh,
@@ -79,6 +88,7 @@ class MeshDreamMapper:
             self.direct = bool(getattr(index.filter, "direct", 0))
         else:
             self.filter_words = jnp.zeros((1, 2), dtype=jnp.uint32)
+            self.block_s = 0
             self.k = self.n_hashes = self.window = 0
             self.canonical = self.blocked = self.direct = False
         self._steps: dict = {}
@@ -121,7 +131,8 @@ class MeshDreamMapper:
                 k=self.k, n_hashes=self.n_hashes, window=self.window,
                 use_filter=self.use_filter, uniform_len=uniform_len,
                 route_override=route_override, canonical=self.canonical,
-                blocked=self.blocked, direct=self.direct)
+                blocked=self.blocked, direct=self.direct,
+                block_s=self.block_s)
         return self._steps[key]
 
     def map_batch(self, batch: ReadBatch,

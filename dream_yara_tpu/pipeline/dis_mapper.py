@@ -112,8 +112,17 @@ def classify_reads(index: DreamIndex, batch: ReadBatch, opts: MapperOptions,
     # change the 128-word block geometry the filter was built with
     canonical = bool(getattr(filt, "canonical", 0))
     blocked = bool(getattr(filt, "blocked", 0))
-    wd_need = filt.words.shape[1] if blocked else max(1, (B + 31) // 32)
-    words = jnp.asarray(np.asarray(filt.words)[:, :wd_need])
+    if blocked:
+        # host-side block-row layout: a device reshape of (n_rows, 2)
+        # words relayouts via a 64x-padded tiled copy at scale (round 4)
+        from ..ops.ibf_query import host_block_rows
+
+        w_np, block_s = host_block_rows(filt.words, B)
+        words = jnp.asarray(w_np)
+    else:
+        block_s = 0
+        words = jnp.asarray(
+            np.asarray(filt.words)[:, :max(1, (B + 31) // 32)])
     L = batch.max_len
     from ..ops.ibf_query import ibf_classify_packed
     from ..ops.readpack import pack_blob_with_lengths
@@ -130,7 +139,7 @@ def classify_reads(index: DreamIndex, batch: ReadBatch, opts: MapperOptions,
             L=L, k=filt.k, n_hashes=filt.n_hashes, rate_ppm=rate_ppm,
             window=getattr(filt, "window", 0), canonical=canonical,
             blocked=blocked, direct=bool(getattr(filt, "direct", 0)),
-            n_bins=B))
+            n_bins=B, block_s=block_s))
         bits = ((cw[:, :, None] >> shifts) & 1).astype(bool)
         mask[ids] = bits.reshape(IBF_READS, -1)[: len(ids), :B]
     return mask

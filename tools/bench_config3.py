@@ -107,8 +107,9 @@ def make_reads(stores, n_reads, rng):
         m[rows, cols] = (m[rows, cols] + rng.integers(1, 4, len(rows))) % 4
     flip = rng.random(n_reads) < 0.5
     m[flip] = np.where(m[flip, ::-1] < 4, 3 - m[flip, ::-1], m[flip, ::-1])
-    return ReadBatch.from_reads([f"r{i}" for i in range(n_reads)],
-                                [m[i] for i in range(n_reads)])
+    return ReadBatch.from_dense(
+        [f"r{i}" for i in range(n_reads)], m,
+        np.full(n_reads, READ_LEN, dtype=np.int32))
 
 
 def main():
@@ -132,9 +133,25 @@ def main():
     from dream_yara_tpu.utils.timer import StageTimers
 
     rng = np.random.default_rng(7)
-    print(f"[c3] generating {n_reads} reads", file=sys.stderr)
-    batches = [make_reads(stores, min(250_000, n_reads - i), rng)
-               for i in range(0, n_reads, 250_000)]
+    rp = CACHE / f"reads_{n_reads}.npz"
+    if rp.exists():
+        print(f"[c3] loading cached reads", file=sys.stderr)
+        from dream_yara_tpu.io.readstore import ReadBatch
+
+        z = np.load(rp)
+        batches = []
+        for bi in range(int(z["n_batches"])):
+            m = z[f"b{bi}"]
+            batches.append(ReadBatch.from_dense(
+                [f"r{i}" for i in range(m.shape[0])], m,
+                np.full(m.shape[0], READ_LEN, dtype=np.int32)))
+    else:
+        print(f"[c3] generating {n_reads} reads", file=sys.stderr)
+        batches = [make_reads(stores, min(250_000, n_reads - i), rng)
+                   for i in range(0, n_reads, 250_000)]
+        np.savez(rp, n_batches=len(batches),
+                 **{f"b{bi}": np.asarray(b.seqs[:b.n_reads])
+                    for bi, b in enumerate(batches)})
     opts = MapperOptions(error_rate=0.03)
     timers = StageTimers()
     mapper = MeshDreamMapper(index, opts, lean=True)
