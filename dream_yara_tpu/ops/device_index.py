@@ -72,8 +72,15 @@ class DeviceFMSet(NamedTuple):
     pfx_lo: jnp.ndarray | None = None  # (B, 4^q) int32, common q (prefix_q)
     pfx_hi: jnp.ndarray | None = None
     fused: jnp.ndarray | None = None   # (B, max_blocks+1, 24) int32 fused rank rows
-    # sampled-SA mode (uniform sample_rate over all bins, else full SA)
-    sa_mark_bits: jnp.ndarray | None = None  # (B, nw) uint32
+    # sampled-SA mode (uniform sample_rate over all bins, else full SA).
+    # Mark bits are stored pre-grouped as (B, nw/4, 4): the flat step's
+    # fused locate gathers 4-word rows, and building that view in-program
+    # from a (B, nw) argument splits the minor dim — a reshape XLA
+    # materializes in the default (8,128)-tiled layout, padding 4->128
+    # lanes (measured: a 244 MB mark table became a 7.6 GB HLO temp and
+    # OOM'd the 64x32 Mbp config-3 database). A leading-dim merge of this
+    # layout is a free bitcast, like `fused`.
+    sa_mark_bits: jnp.ndarray | None = None  # (B, nw/4, 4) uint32
     sa_rank_ck: jnp.ndarray | None = None    # (B, nck+1) int32
 
     @property
@@ -181,10 +188,11 @@ class DeviceFMSet(NamedTuple):
             # deterministic target sizes (multi-host shard-shape parity)
             nw = ((max_n + 31) // 32 + 3) // 4 * 4
             nck = (max_n + 127) // 128 + 1
-            mark_bits = np.zeros((Bp, nw), dtype=np.uint32)
+            mark_bits = np.zeros((Bp, nw // 4, 4), dtype=np.uint32)
             rank_ck = np.zeros((Bp, nck), dtype=np.int32)
             for b, fm in enumerate(fms):
-                mark_bits[b, : len(fm.sa_mark_bits)] = fm.sa_mark_bits
+                mark_bits[b].reshape(-1)[: len(fm.sa_mark_bits)] = \
+                    fm.sa_mark_bits
                 rank_ck[b, : len(fm.sa_rank_ck)] = fm.sa_rank_ck
                 rank_ck[b, len(fm.sa_rank_ck) :] = fm.sa_rank_ck[-1]
 
@@ -205,9 +213,10 @@ class DeviceFMSet(NamedTuple):
 
     def bin(self, b: int) -> DeviceFM:
         g = lambda f: None if getattr(self, f) is None else getattr(self, f)[b]
+        mb = g("sa_mark_bits")
         return DeviceFM(bwt_blocks=self.bwt_blocks[b], occ=self.occ[b],
                         counts=self.counts[b], sa=self.sa[b],
                         text=self.text[b], n=self.n[b],
                         pfx_lo=g("pfx_lo"), pfx_hi=g("pfx_hi"),
-                        sa_mark_bits=g("sa_mark_bits"),
+                        sa_mark_bits=None if mb is None else mb.reshape(-1),
                         sa_rank_ck=g("sa_rank_ck"), fused=g("fused"))

@@ -167,8 +167,10 @@ def _flat_core(fmset, reads, lengths, bin_slot, rate_ppm, max_errors,
 
         sa_rows, hmask, overflow = gather_hit_rows(lo, hi, capacity)
         bin_q = jnp.repeat(bin_seed, capacity)
-        nw = fmset.sa_mark_bits.shape[1]
-        mark4 = fmset.sa_mark_bits.reshape(-1, 4)          # (B*nw/4, 4)
+        ngrp = fmset.sa_mark_bits.shape[1]                 # 4-word groups/bin
+        mark4 = fmset.sa_mark_bits.reshape(-1, 4)          # bitcast: merges
+        # leading dims of the (B, ngrp, 4) argument (device_index.py layout
+        # note — a minor-dim-splitting reshape here OOM'd config-3)
         nck = fmset.sa_rank_ck.shape[1]
         ck_flat = fmset.sa_rank_ck.reshape(-1)
         max_sa = fmset.sa.shape[1]
@@ -177,7 +179,7 @@ def _flat_core(fmset, reads, lengths, bin_slot, rate_ppm, max_errors,
             row_fetch=lambda b: jnp.take(fused_flat, bin_q * nb1 + b, axis=0),
             counts_fetch=lambda c: jnp.take(counts_flat, bin_q * nsig + c),
             mark_words_fetch=lambda g: jnp.take(
-                mark4, jnp.clip(bin_q * (nw // 4) + g, 0,
+                mark4, jnp.clip(bin_q * ngrp + g, 0,
                                 mark4.shape[0] - 1), axis=0),
             ck_fetch=lambda g: jnp.take(
                 ck_flat, jnp.clip(bin_q * nck + g, 0, ck_flat.shape[0] - 1)),

@@ -158,10 +158,11 @@ def main():
     print(f"[c3] mesh {dict(mapper.mesh.shape)}, devices "
           f"{[str(d) for d in jax.devices()]}", file=sys.stderr)
 
-    # warmup on a tiny batch (compile)
+    # warmup on the FIRST REAL batch: compiles the exact production shape
+    # (a tiny 4096-read warmup paid a full multi-minute remote compile for
+    # a shape used exactly once, and pass 0 then recompiled at 250k anyway)
     t0 = time.time()
-    warm = make_reads(stores, 4096, rng)
-    _ = b"".join(mesh_dream_stream(mapper, iter([warm]), timers=timers))
+    _ = b"".join(mesh_dream_stream(mapper, iter(batches[:1]), timers=timers))
     print(f"[c3] warmup(compile): {time.time() - t0:.1f}s", file=sys.stderr)
 
     # median of N timed passes (tunnel noise +-25%, BASELINE.md)
@@ -181,7 +182,7 @@ def main():
             n_map = sum(1 for l in out.splitlines()
                         if l and not l.startswith(b"@")
                         and int(l.split(b"\t", 3)[1]) & 4 == 0)
-            timers.report(sys.stderr)
+            print(timers.report(), file=sys.stderr)
             print(f"[c3] diag: {mapper.fallback_diag}", file=sys.stderr)
             print(f"[c3] mapped {n_map}/{n_rec}", file=sys.stderr)
     print(json.dumps({
