@@ -130,6 +130,15 @@ class FMIndex:
         if q is None:
             q = max(2, min(11, int(np.log(max(n, 16)) / np.log(4))))
         q = min(q, 11)
+        if self.sample_rate > 1:
+            # `self.sa` holds only the SAMPLED values here, so the
+            # SA-order key scan below would read a 1/rate subset and emit
+            # a corrupt table (found via a mixed-prefix_q DeviceFMSet
+            # rebuild: bins default to size-dependent q, and the stacked
+            # set rebuilds every bin at the common min q). Derive the
+            # intervals from the BWT instead — no SA required.
+            self._build_prefix_table_bwt(q)
+            return
         tpad = np.concatenate([np.asarray(text, np.int8),
                                np.zeros(q, np.int8)])   # int8: codes fit
         idx = np.arange(4 ** q, dtype=np.int64)
@@ -149,6 +158,41 @@ class FMIndex:
                 kc = kc * np.int32(6) + tpad[sa_c + t]
             lo += np.searchsorted(kc, key6, side="left")
             hi += np.searchsorted(kc, key6, side="right")
+        self.prefix_q = q
+        self.pfx_lo = lo.astype(np.int32)
+        self.pfx_hi = hi.astype(np.int32)
+
+    def _rank_np(self, c: int, i: np.ndarray) -> np.ndarray:
+        """Vectorized host rank_c(i) over the BWT blocks (i in [0, n])."""
+        b = i >> 7
+        r = (i & 127).astype(np.int32)
+        blk = self.bwt_blocks[np.minimum(b, self.bwt_blocks.shape[0] - 1)]
+        within = ((blk == c)
+                  & (np.arange(BLOCK, dtype=np.int32)[None, :] < r[:, None])
+                  ).sum(axis=1, dtype=np.int32)
+        return self.occ[b, c] + within
+
+    def _build_prefix_table_bwt(self, q: int):
+        """q-mer intervals by backward-extension BFS over the BWT.
+
+        Depth-d table entry m (a d-mer, first char most significant) is the
+        backward-search interval of that d-mer; it extends the (d-1)-table
+        entry of its SUFFIX m mod 4^(d-1) by its first char c = m >> 2(d-1):
+        lo' = C[c] + rank_c(lo). Identical semantics to the SA key scan
+        (suffixes whose first d chars equal the d-mer; suffixes with N/$
+        inside the window are never counted because only A..T extend).
+        2 * sum_d 4^d rank queries total, no SA access."""
+        lo = np.array([0], dtype=np.int64)
+        hi = np.array([self.n], dtype=np.int64)
+        for d in range(1, q + 1):
+            m = len(lo)
+            nlo = np.empty(4 * m, dtype=np.int64)
+            nhi = np.empty(4 * m, dtype=np.int64)
+            for c in range(4):
+                base = np.int64(self.counts[c])
+                nlo[c * m : (c + 1) * m] = base + self._rank_np(c, lo)
+                nhi[c * m : (c + 1) * m] = base + self._rank_np(c, hi)
+            lo, hi = nlo, nhi
         self.prefix_q = q
         self.pfx_lo = lo.astype(np.int32)
         self.pfx_hi = hi.astype(np.int32)

@@ -166,7 +166,37 @@ def _flat_core(fmset, reads, lengths, bin_slot, rate_ppm, max_errors,
         from ..ops.locate import locate_sampled_fused
 
         sa_rows, hmask, overflow = gather_hit_rows(lo, hi, capacity)
-        bin_q = jnp.repeat(bin_seed, capacity)
+        # Compact valid lanes BEFORE the LF walk: the walk costs
+        # sample_rate-1 fori iterations of row gathers PER LANE, and only a
+        # few percent of the S*capacity lanes are real hits (measured on
+        # the 64x32 Mbp config-3 DB: walking all 20M lanes at rate 16 was
+        # 27.7s of a 32s step). Valid lanes of a seed-row are a contiguous
+        # prefix (gather_hit_rows mask = lane < cnt), so the row-start
+        # scatter + cumulative-max fill from global_compact applies
+        # directly; dropped lanes (pool overflow) are folded into the
+        # per-seed `overflow` so the host re-maps those reads exactly.
+        import os as _os
+
+        from .map_step import flat_cumsum
+        S = lo.shape[0]
+        cap2l = float(_os.environ.get("DY_CAP2L", "4.0"))
+        loc_cap = max(8, int(cap2l * (R2 // 2)))
+        cnt = jnp.clip(hi - lo, 0, capacity).astype(jnp.int32)
+        incl = flat_cumsum(cnt)
+        off = incl - cnt
+        overflow = overflow + (incl > loc_cap).astype(overflow.dtype)
+        dst = jnp.where((cnt > 0) & (off < loc_cap), off, loc_cap)
+        row_start = jnp.zeros(loc_cap, jnp.int32).at[dst].set(
+            jnp.arange(S, dtype=jnp.int32), mode="drop",
+            unique_indices=True)
+        rowp = jax.lax.associative_scan(jnp.maximum, row_start)
+        slot_i = jnp.arange(loc_cap, dtype=jnp.int32)
+        lane = slot_i - jnp.take(off, rowp)
+        src = jnp.clip(rowp * capacity + lane, 0, S * capacity - 1)
+        total = jnp.minimum(incl[-1] if S > 0 else jnp.int32(0), loc_cap)
+        valid_c = slot_i < total
+        rows_c = jnp.take(sa_rows.reshape(-1), src)
+        bin_c = jnp.take(bin_seed, rowp)
         ngrp = fmset.sa_mark_bits.shape[1]                 # 4-word groups/bin
         mark4 = fmset.sa_mark_bits.reshape(-1, 4)          # bitcast: merges
         # leading dims of the (B, ngrp, 4) argument (device_index.py layout
@@ -175,20 +205,28 @@ def _flat_core(fmset, reads, lengths, bin_slot, rate_ppm, max_errors,
         ck_flat = fmset.sa_rank_ck.reshape(-1)
         max_sa = fmset.sa.shape[1]
         sa_flat = fmset.sa.reshape(-1)
-        pos = locate_sampled_fused(
-            row_fetch=lambda b: jnp.take(fused_flat, bin_q * nb1 + b, axis=0),
-            counts_fetch=lambda c: jnp.take(counts_flat, bin_q * nsig + c),
+        pos_c = locate_sampled_fused(
+            row_fetch=lambda b: jnp.take(fused_flat, bin_c * nb1 + b, axis=0),
+            counts_fetch=lambda c: jnp.take(counts_flat, bin_c * nsig + c),
             mark_words_fetch=lambda g: jnp.take(
-                mark4, jnp.clip(bin_q * ngrp + g, 0,
+                mark4, jnp.clip(bin_c * ngrp + g, 0,
                                 mark4.shape[0] - 1), axis=0),
             ck_fetch=lambda g: jnp.take(
-                ck_flat, jnp.clip(bin_q * nck + g, 0, ck_flat.shape[0] - 1)),
+                ck_flat, jnp.clip(bin_c * nck + g, 0, ck_flat.shape[0] - 1)),
             sample_fetch=lambda i: jnp.take(
-                sa_flat, jnp.clip(bin_q * max_sa + i, 0,
+                sa_flat, jnp.clip(bin_c * max_sa + i, 0,
                                   sa_flat.shape[0] - 1)),
-            rows=sa_rows.reshape(-1), sample_rate=sample_rate,
-            valid=hmask.reshape(-1))
-        pos = pos.reshape(sa_rows.shape)
+            rows=rows_c, sample_rate=sample_rate, valid=valid_c)
+        # scatter located positions back into the dense (S, capacity) lane
+        # layout (dedup/anchor math below is lane-indexed); lanes that
+        # did not fit loc_cap are invalidated here AND counted in
+        # `overflow` above, so the exhaustive host fallback re-maps them
+        pos = jnp.zeros(S * capacity, jnp.int32).at[
+            jnp.where(valid_c, src, S * capacity)].set(
+                pos_c, mode="drop", unique_indices=True)
+        pos = pos.reshape(S, capacity)
+        lane_pos = off[:, None] + jnp.arange(capacity, dtype=jnp.int32)[None, :]
+        hmask = hmask & (lane_pos < loc_cap)
     else:
         pos, hmask, overflow = gather_hits(None, lo, hi, capacity,
                                            sa_row_fetch=hooks.sa_rows,

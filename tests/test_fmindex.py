@@ -60,6 +60,26 @@ def test_sampled_sa_locate(fm_and_text, rng):
         assert fms.locate(int(row)) == int(fm.sa[row])
 
 
+def test_prefix_table_rebuild_on_sampled_index():
+    """Rebuilding the q-mer table on a SUBSAMPLED index must match the
+    full-SA key-scan table. The SA-order scan reads `self.sa`, which holds
+    only 1/rate of the suffixes after subsample_sa — the old rebuild
+    silently emitted a corrupt table whenever DeviceFMSet stacked bins
+    whose size-dependent default q differed (the common-min-q rebuild),
+    which made the mesh seed search miss real hits on the rebuilt bins."""
+    rng = np.random.default_rng(77)
+    unit = rng.integers(0, 4, 60).astype(np.int8)
+    text = np.concatenate([np.tile(unit, 30),
+                           rng.integers(0, 4, 1500).astype(np.int8),
+                           np.full(1, 5, np.int8)])
+    for q in (4, 5, 6):
+        fresh = FMIndex.build(text, prefix_q=q)
+        sub = FMIndex.build(text, sample_rate=4)
+        sub.build_prefix_table(text, q)
+        assert np.array_equal(fresh.pfx_lo, sub.pfx_lo)
+        assert np.array_equal(fresh.pfx_hi, sub.pfx_hi)
+
+
 def test_save_load(fm_and_text, tmp_path):
     fm, _ = fm_and_text
     fm.save(tmp_path / "fm")

@@ -255,6 +255,28 @@ def test_mesh_sampled_sa_identical():
     assert mesh_dream_sam(mapper, batch) == ref
 
 
+def test_mesh_sampled_sa_loc_cap_spill_identical(monkeypatch):
+    """A locate-compaction pool too small for the hit load (DY_CAP2L) must
+    spill through the per-seed overflow -> exhaustive host re-map path and
+    still produce byte-identical SAM (flat_step compacts valid lanes before
+    the sampled-SA LF walk; dropped lanes may NOT be silently lost)."""
+    rng = np.random.default_rng(14)
+    B = 2
+    # tandem repeats -> wide SA intervals -> many lanes per seed
+    unit = random_text(rng, 60)
+    genomes = [np.concatenate([unit] * 40 + [random_text(rng, 2000)]),
+               random_text(rng, 4000)]
+    stores = [SeqStore.from_seqs([f"g{b}"], [genomes[b]]) for b in range(B)]
+    fms = [FMIndex.build(st.text, sample_rate=4) for st in stores]
+    index = DreamIndex(stores, fms, None, "none")
+    batch, _ = _planted(rng, genomes, n_per_bin=6)
+    opts = MapperOptions(error_rate=0.03)
+    ref = dream_map_sam(index, batch, opts)
+    monkeypatch.setenv("DY_CAP2L", "0.02")   # loc_cap ~ a handful of lanes
+    mapper = MeshDreamMapper(index, opts, n_devices=4)
+    assert mesh_dream_sam(mapper, batch) == ref
+
+
 def test_mesh_pe_identical(db_and_reads):
     """PE mode (pairing + rescue) through the mesh matches single-device."""
     genomes, index, batch_se, truth = db_and_reads
