@@ -89,7 +89,8 @@ def check_hbm_ceiling(n_bp: int, sample_rate: int, hbm_gb: float, bin_id,
 
 
 def build_one_bin(args):
-    fasta, db_dir, bin_id, sample_rate, hbm_gb, allow_oversize, tmp_dir = args
+    (fasta, db_dir, bin_id, sample_rate, hbm_gb, allow_oversize,
+     tmp_dir, bidir) = args
     from ..index.fmindex import FMIndex
     from ..io.seqstore import SeqStore
     from .common import FASTA_EXTS  # noqa: F401
@@ -104,6 +105,18 @@ def build_one_bin(args):
     (Path(db_dir) / "bins").mkdir(parents=True, exist_ok=True)
     store.save(bin_file(db_dir, bin_id, "store"))
     fm.save(bin_file(db_dir, bin_id, "fm"))
+    if bidir:
+        # reverse-text rank rows sidecar (index/bifm.py): enables the
+        # bidirectional search-scheme seed backend in the mapper
+        from ..index.bifm import build_reverse_fused
+
+        rfused, rcounts = build_reverse_fused(store.text, tmp_dir=tmp_dir)
+        import numpy as _np
+        _np.savez(bin_file(db_dir, bin_id, "rfm"), rfused=rfused,
+                  rcounts=rcounts)
+    else:
+        # a rebuilt bin must not leave a STALE reverse sidecar behind
+        bin_file(db_dir, bin_id, "rfm").unlink(missing_ok=True)
     return bin_id, fm.n, time.time() - t0
 
 
@@ -134,6 +147,10 @@ def main(argv=None):
                    help="parallel bin builds (processes)")
     p.add_argument("--bin-id", type=int, default=None,
                    help="rebuild ONLY this bin id from the single given fasta")
+    p.add_argument("--bidir", action="store_true",
+                   help="also build the reverse-text rank rows per bin "
+                        "(bidirectional FM-index, SeqAn-style): the mapper "
+                        "then uses search-scheme approximate seeding")
     p.add_argument("-v", "--verbose", action="count", default=0)
     a = p.parse_args(argv)
 
@@ -151,9 +168,14 @@ def main(argv=None):
             meta_path = db_dir / "meta.json"
             rate = (json.loads(meta_path.read_text()).get("sample_rate", 1)
                     if meta_path.exists() else 1)
+        if not a.bidir:
+            # inherit bidir-ness: a bidir database's rebuilt bin keeps its
+            # reverse sidecar in sync (like sample_rate above)
+            from ..pipeline.dis_mapper import bin_file as _bf
+            a.bidir = _bf(db_dir, a.bin_id, "rfm").exists()
         bin_id, n, dt = build_one_bin(
             (paths[0], db_dir, a.bin_id, rate, a.hbm_gb,
-             a.allow_oversize, a.tmp_dir))
+             a.allow_oversize, a.tmp_dir, a.bidir))
         print(f"[indexer] rebuilt bin {bin_id} ({n} bp, sample-rate {rate}) "
               f"in {dt:.1f}s", file=sys.stderr)
         return
@@ -169,7 +191,7 @@ def main(argv=None):
                   file=sys.stderr)
     a.sample_rate = rate
     jobs = [(f, db_dir, b, rate, a.hbm_gb, a.allow_oversize,
-             a.tmp_dir)
+             a.tmp_dir, a.bidir)
             for b, f in enumerate(paths)]
     t0 = time.time()
     if a.threads > 1:

@@ -32,9 +32,15 @@ class DeviceFM(NamedTuple):
     sa_mark_bits: jnp.ndarray | None = None  # (ceil(n/32),) uint32 mark bitmap
     sa_rank_ck: jnp.ndarray | None = None    # (ceil(n/128)+1,) int32 mark-rank checkpoints
     fused: jnp.ndarray | None = None         # (n_blocks+1, 24) int32 fused rank rows
+    # bidirectional mode (index/bifm.py): fused rank rows of the REVERSED
+    # text. The reverse C table equals `counts` (same symbol multiset), so
+    # only the rows ship. Enables the search-scheme approximate seed
+    # backend (ops/bidir_search.py).
+    rfused: jnp.ndarray | None = None        # (n_blocks+1, 24) int32
 
     @classmethod
-    def from_host(cls, fm: FMIndex, text: np.ndarray) -> "DeviceFM":
+    def from_host(cls, fm: FMIndex, text: np.ndarray,
+                  rfused: np.ndarray | None = None) -> "DeviceFM":
         from .rank import build_fused_rank_rows
         mark_bits = rank_ck = None
         if fm.sample_rate > 1:
@@ -52,6 +58,7 @@ class DeviceFM(NamedTuple):
             sa_mark_bits=None if mark_bits is None else jnp.asarray(mark_bits),
             sa_rank_ck=None if rank_ck is None else jnp.asarray(rank_ck),
             fused=jnp.asarray(build_fused_rank_rows(fm.bwt_blocks, fm.occ)),
+            rfused=None if rfused is None else jnp.asarray(rfused),
         )
 
 

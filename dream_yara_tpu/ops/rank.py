@@ -90,3 +90,33 @@ def rank_fused_rows(row: jnp.ndarray, c: jnp.ndarray, r: jnp.ndarray) -> jnp.nda
     within = ((chars == c[:, None].astype(jnp.uint32)) &
               (pos[None, :] < r[:, None])).sum(axis=1, dtype=jnp.int32)
     return base + within
+
+
+# --- all-symbol rank (bidirectional FM extension, index/bifm.py) ----------
+
+def decode_fused_row_np(row: "np.ndarray"):
+    """Host decode of ONE fused row: (occ base (SIGMA,) int32, chars (128,))."""
+    import numpy as np
+
+    base = row[:6].copy()
+    words = row[6:22].astype(np.uint32)
+    nib = (np.arange(8, dtype=np.uint32) * 4)[None, :]
+    chars = ((words[:, None] >> nib) & 7).reshape(BLOCK)
+    return base, chars
+
+
+def rank_all_fused_rows(row: jnp.ndarray, r: jnp.ndarray) -> jnp.ndarray:
+    """occ counts of ALL six symbols at in-block pos r: row (Q, 24) -> (Q, 6).
+
+    Same two-gather budget as a plain rank query (the caller fetched `row`);
+    the extra work is five more VPU compare-counts over the decoded block —
+    this is what makes bidirectional interval tracking gather-neutral."""
+    words = row[:, 6:22].astype(jnp.uint32)             # (Q, 16)
+    nib = (jnp.arange(8, dtype=jnp.uint32) * 4)[None, None, :]
+    chars = ((words[:, :, None] >> nib) & 7).reshape(row.shape[0], BLOCK)
+    pos = jnp.arange(BLOCK, dtype=jnp.int32)
+    inpos = pos[None, :] < r[:, None]                   # (Q, 128)
+    within = jnp.stack(
+        [((chars == s) & inpos).sum(axis=1, dtype=jnp.int32)
+         for s in range(6)], axis=1)                    # (Q, 6)
+    return row[:, :6] + within

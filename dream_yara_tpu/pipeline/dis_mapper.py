@@ -44,7 +44,8 @@ class DreamIndex:
     """All per-bin artifacts + the prefilter, loaded from a database dir."""
 
     def __init__(self, stores: list[SeqStore], fms: list[FMIndex], filt,
-                 filter_type: str = "bloom"):
+                 filter_type: str = "bloom",
+                 rfused: dict[int, np.ndarray] | None = None):
         self.stores = stores
         self.fms = fms
         self.filter = filt
@@ -52,6 +53,8 @@ class DreamIndex:
         self.contigs = GlobalContigs.from_stores(stores)
         self.global_text = np.concatenate([st.text for st in stores])
         self._bin_mappers: dict[int, BinMapper] = {}
+        # per-bin reverse-text rank rows (indexer --bidir sidecars)
+        self.rfused = rfused or {}
 
     @property
     def n_bins(self) -> int:
@@ -61,16 +64,19 @@ class DreamIndex:
     def load(cls, db_dir, filter_type: str = "bloom") -> "DreamIndex":
         db_dir = Path(db_dir)
         meta = json.loads((db_dir / "meta.json").read_text())
-        stores, fms = [], []
+        stores, fms, rfused = [], [], {}
         for b in range(meta["n_bins"]):
             stores.append(SeqStore.load(bin_file(db_dir, b, "store")))
             fms.append(FMIndex.load(bin_file(db_dir, b, "fm")))
+            rp = bin_file(db_dir, b, "rfm")
+            if rp.exists():
+                rfused[b] = np.load(rp)["rfused"]
         filt = None
         if filter_type == "bloom" and (db_dir / "db.filter.npz").exists():
             filt = InterleavedBloomFilter.load(db_dir / "db.filter")
         elif filter_type == "kmer_direct" and (db_dir / "db.kdx.npz").exists():
             filt = DirectKmerFilter.load(db_dir / "db.kdx")
-        return cls(stores, fms, filt, filter_type)
+        return cls(stores, fms, filt, filter_type, rfused=rfused)
 
     def bin_mapper(self, b: int, opts: MapperOptions,
                    timers: StageTimers | None = None,
@@ -86,7 +92,8 @@ class DreamIndex:
                                              dev=dev_factory() if dev_factory
                                              else None,
                                              prefix_q=prefix_q,
-                                             sample_rate=sample_rate)
+                                             sample_rate=sample_rate,
+                                             rfused=self.rfused.get(b))
         bm = self._bin_mappers[b]
         if timers is not None:
             bm.timers = timers

@@ -471,13 +471,13 @@ def verify_candidates(fm: DeviceFM, reads, lengths, vrow, vanch, keep,
 @functools.partial(
     jax.jit, static_argnames=("rate_ppm", "max_errors", "capacity",
                               "max_slen_rep", "verify_capacity", "use_pallas",
-                              "budget", "indels"))
+                              "budget", "indels", "backend"))
 def repetitive_map_step(fm: DeviceFM, reads: jnp.ndarray, lengths: jnp.ndarray,
                         rep_rows: jnp.ndarray, rep_mask: jnp.ndarray,
                         *, rate_ppm: int, max_errors: int, capacity: int,
                         max_slen_rep: int, verify_capacity: int = 8,
                         use_pallas: bool = False, budget: int = 1,
-                        indels: bool = False):
+                        indels: bool = False, backend: str = "enum"):
     """Re-seed repetitive rows with fewer/longer approximate seeds.
 
     The classifier path (reference mapper_classifier.h + findSeeds<1|2>
@@ -511,10 +511,20 @@ def repetitive_map_step(fm: DeviceFM, reads: jnp.ndarray, lengths: jnp.ndarray,
     starts = sidx * slen
     slens = jnp.where(valid_s, slen, 0)
 
-    lo, hi, lvalid, w_start = seed_search_edits(
-        fm.bwt_blocks, fm.occ, fm.counts, fm.n, reads,
-        rows_s, starts, slens, max_slen_rep, budget=budget, indels=indels,
-        fused=fm.fused)
+    if backend == "bidir":
+        # search-scheme backend on the bidirectional index (subs only;
+        # the caller guarantees full windows and rfused availability —
+        # pipeline/mapper.py BinMapper._bidir_ok)
+        from ..ops.bidir_search import bidir_seed_search
+
+        lo, hi, lvalid, w_start = bidir_seed_search(
+            fm.fused, fm.counts, fm.rfused, fm.counts, fm.n, reads,
+            rows_s, starts, slens, max_slen_rep, budget=budget)
+    else:
+        lo, hi, lvalid, w_start = seed_search_edits(
+            fm.bwt_blocks, fm.occ, fm.counts, fm.n, reads,
+            rows_s, starts, slens, max_slen_rep, budget=budget,
+            indels=indels, fused=fm.fused)
     hi = jnp.where(lvalid, hi, lo)
 
     S = rows_s.shape[0]

@@ -38,16 +38,20 @@ class BinMapper:
 
     def __init__(self, store: SeqStore, fm: FMIndex, opts: MapperOptions,
                  timers: StageTimers | None = None, dev: DeviceFM | None = None,
-                 prefix_q: int | None = None, sample_rate: int | None = None):
+                 prefix_q: int | None = None, sample_rate: int | None = None,
+                 rfused: "np.ndarray | None" = None):
         """`dev` lets callers that already hold the bin's index on device
         (e.g. the mesh driver's DeviceFMSet) pass an on-device view instead
         of re-uploading through the host->device tunnel. `prefix_q` /
         `sample_rate` must then describe THAT layout (a stacked set uses the
-        common q / rate over bins, which can differ from this bin's own)."""
+        common q / rate over bins, which can differ from this bin's own).
+        `rfused`: reverse-text fused rank rows (index/bifm.py) — enables the
+        bidirectional search-scheme seed backend."""
         self.store = store
         self.fm = fm
         self.opts = opts
-        self.dev = DeviceFM.from_host(fm, store.text) if dev is None else dev
+        self.dev = (DeviceFM.from_host(fm, store.text, rfused=rfused)
+                    if dev is None else dev)
         self.prefix_q = fm.prefix_q if prefix_q is None else prefix_q
         self.sample_rate = fm.sample_rate if sample_rate is None else sample_rate
         self.timers = timers or StageTimers()
@@ -201,6 +205,30 @@ class BinMapper:
     REP1_T = 32  # stratum-1 window truncation (layout lanes ~ 8*t)
     REP2_T = 16  # stratum-2 truncation: 9*C(t,2) layouts must stay affordable
 
+    def _seed_backend(self, rows_np, lens_c, rate_ppm, budget, indels,
+                      t_max) -> str:
+        """Pick the approximate-seed backend for one repetitive stratum.
+
+        'bidir' (search schemes on the bidirectional index,
+        ops/bidir_search.py) requires: the reverse rank rows on device, a
+        substitution-only stratum, and FULL seed windows (every candidate
+        row's seed length >= t_max — the scheme lane tables are laid out
+        on the uniform m-grid). Anything else keeps the dense enumeration.
+        DY_SEED_BACKEND=enum|bidir|auto overrides opts.seed_backend.
+        """
+        import os
+
+        mode = os.environ.get("DY_SEED_BACKEND",
+                              getattr(self.opts, "seed_backend", "auto"))
+        if mode == "enum" or self.dev.rfused is None or indels \
+                or len(rows_np) == 0:
+            return "enum"
+        l = lens_c[rows_np % lens_c.shape[0]].astype(np.int64)
+        e = (l * rate_ppm) // 10_000
+        ns2 = (e + budget + 1) // (budget + 1)
+        slen = np.where(ns2 > 0, l // np.maximum(ns2, 1), 0)
+        return "bidir" if (slen >= t_max).all() else "enum"
+
     def _repetitive_pass(self, out: MapStepOut, reads_c, lens_c, ids, half, n,
                          max_err, rate_ppm) -> Matches:
         """Device re-seed of rows whose exact seeds overflowed (sensitivity
@@ -222,6 +250,8 @@ class BinMapper:
         lens_j = jnp.asarray(lens_c)
 
         def run(rows_np, budget, indels, t_max):
+            backend = self._seed_backend(rows_np, lens_c, rate_ppm,
+                                         budget, indels, t_max)
             parts, matched = [], np.zeros(0, dtype=np.int64)
             for b0 in range(0, len(rows_np), self.REP_PAD):
                 rb = rows_np[b0 : b0 + self.REP_PAD]
@@ -233,7 +263,8 @@ class BinMapper:
                     self.dev, reads_j, lens_j, jnp.asarray(rb),
                     jnp.asarray(mask), rate_ppm=rate_ppm, max_errors=max_err,
                     capacity=4, max_slen_rep=t_max,
-                    use_pallas=self.use_pallas, budget=budget, indels=indels)
+                    use_pallas=self.use_pallas, budget=budget, indels=indels,
+                    backend=backend)
                 row, ok = np.asarray(row), np.asarray(ok)
                 matched = np.union1d(matched, row[ok])
                 m = build_matches(row, np.asarray(beg), np.asarray(end),
@@ -299,9 +330,10 @@ class BinMapper:
 
 
 def map_single_bin(store: SeqStore, fm: FMIndex, batch: ReadBatch,
-                   opts: MapperOptions) -> tuple[Ranked, list[str], GlobalContigs]:
+                   opts: MapperOptions, rfused: np.ndarray | None = None
+                   ) -> tuple[Ranked, list[str], GlobalContigs]:
     """Full single-bin SE pipeline: matches -> contig filter -> rank -> CIGARs."""
-    mapper = BinMapper(store, fm, opts)
+    mapper = BinMapper(store, fm, opts, rfused=rfused)
     m = mapper.map_batch(batch)
 
     contigs = GlobalContigs.from_stores([store])

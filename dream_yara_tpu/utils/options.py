@@ -33,6 +33,11 @@ class MapperOptions:
     # TPU-native options (no reference analog)
     devices: str = "auto"             # mesh spec, e.g. "auto", "cpu:8"
     bin_capacity_factor: float = 2.0  # routing capacity factor (parallel/routing.py)
+    # approximate-seed backend: auto|enum|bidir. 'bidir' = search schemes on
+    # the bidirectional index (needs the .rfm.npz sidecar, indexer --bidir);
+    # 'auto' picks bidir when the sidecar is loaded and the batch qualifies
+    # (full windows, substitution strata). DY_SEED_BACKEND overrides.
+    seed_backend: str = "auto"
 
     def errors_for(self, read_len: int) -> int:
         """Error budget for a read: floor(len * rate), reference getReadErrors [U]."""
