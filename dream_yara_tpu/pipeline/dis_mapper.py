@@ -32,6 +32,11 @@ from .pairs import rescue_candidates, select_pairs
 from .seeding import max_errors_for_batch, rate_to_ppm
 from .writer import GlobalContigs, sam_header, write_pe_records, write_se_records
 
+import threading as _threading
+
+# finisher-pool threads (dream_map_stream) share the caller's stats dict
+_STATS_LOCK = _threading.Lock()
+
 IBF_READS = 32768  # reads per device IBF classify call
 
 
@@ -254,12 +259,24 @@ def dream_map_stream(index: DreamIndex, batches, opts: MapperOptions,
     analog of the reference's prefetched reader, SURVEY.md §2.10 pipeline
     parallelism row). The FASTQ reader itself prefetches a further batch, so
     steady state runs parse / device map / host finish concurrently.
+
+    Host finishing (rank/dedup, CIGARs, SAM bytes) additionally runs on an
+    ORDERED pool of DY_FINISH_WORKERS threads (default 2): once the device
+    wall fell below the host-finish wall (config-1 after round 3), serial
+    finishing became the throughput ceiling; the numpy/native stages drop
+    the GIL, so two batches' finishes genuinely overlap. Output order and
+    byte content are unchanged — futures are yielded strictly in batch
+    order.
     """
+    import os
     import threading
+    from collections import deque
+    from concurrent.futures import ThreadPoolExecutor
     from queue import Queue
 
     timers = timers or StageTimers()
-    q: Queue = Queue(maxsize=1)
+    n_fin = max(1, int(os.environ.get("DY_FINISH_WORKERS", "2")))
+    q: Queue = Queue(maxsize=n_fin)
     sentinel = object()
     err: list[BaseException] = []
 
@@ -291,16 +308,37 @@ def dream_map_stream(index: DreamIndex, batches, opts: MapperOptions,
     t = threading.Thread(target=device_worker, daemon=True)
     t.start()
     first = header
-    while True:
-        item = q.get()
-        if item is sentinel:
-            if err:
-                raise err[0]
-            return
-        batch, m = item
-        yield _finish_batch(index, batch, m, opts, cmdline, timers,
-                            header=first, stats=stats)
-        first = False
+    if n_fin == 1:
+        while True:
+            item = q.get()
+            if item is sentinel:
+                if err:
+                    raise err[0]
+                return
+            batch, m = item
+            yield _finish_batch(index, batch, m, opts, cmdline, timers,
+                                header=first, stats=stats)
+            first = False
+        return
+    ex = ThreadPoolExecutor(max_workers=n_fin)
+    pending: deque = deque()
+    try:
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            batch, m = item
+            pending.append(ex.submit(_finish_batch, index, batch, m, opts,
+                                     cmdline, timers, first, stats))
+            first = False
+            while len(pending) >= n_fin:
+                yield pending.popleft().result()
+        while pending:
+            yield pending.popleft().result()
+        if err:
+            raise err[0]
+    finally:
+        ex.shutdown(wait=True)
 
 
 def dream_map_sam(index: DreamIndex, batch: ReadBatch, opts: MapperOptions,
@@ -364,12 +402,13 @@ def _finish_batch(index: DreamIndex, batch: ReadBatch, m: Matches,
                                     secondary_mode=opts.secondary_matches)
 
     if stats is not None:
-        stats["reads"] = stats.get("reads", 0) + batch.n_reads
-        mapped = int((ranked.c1 > 0).sum())
-        stats["mapped"] = stats.get("mapped", 0) + mapped
-        stats["unique"] = stats.get("unique", 0) + int(
-            ((ranked.c1 == 1) & (ranked.c2 == 0)).sum())
-        if pair_info is not None:
-            stats["proper_pairs"] = stats.get("proper_pairs", 0) + int(
-                pair_info.proper.sum()) // 2
+        with _STATS_LOCK:   # finisher-pool threads share this dict
+            stats["reads"] = stats.get("reads", 0) + batch.n_reads
+            mapped = int((ranked.c1 > 0).sum())
+            stats["mapped"] = stats.get("mapped", 0) + mapped
+            stats["unique"] = stats.get("unique", 0) + int(
+                ((ranked.c1 == 1) & (ranked.c2 == 0)).sum())
+            if pair_info is not None:
+                stats["proper_pairs"] = stats.get("proper_pairs", 0) + int(
+                    pair_info.proper.sum()) // 2
     return head + body

@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import threading
 import time
 from contextlib import contextmanager
 
@@ -16,6 +17,10 @@ class StageTimers:
     def __init__(self):
         self.totals: dict[str, float] = {}
         self.counts: dict[str, int] = {}
+        # stages accumulate from concurrent pipeline threads (the device
+        # worker and the finisher pool in dis_mapper.dream_map_stream) —
+        # the read-modify-write below must be atomic
+        self._lock = threading.Lock()
 
     @contextmanager
     def stage(self, name: str):
@@ -24,12 +29,12 @@ class StageTimers:
             yield
         finally:
             dt = time.perf_counter() - t0
-            self.totals[name] = self.totals.get(name, 0.0) + dt
-            self.counts[name] = self.counts.get(name, 0) + 1
+            self.add(name, dt)
 
     def add(self, name: str, seconds: float):
-        self.totals[name] = self.totals.get(name, 0.0) + seconds
-        self.counts[name] = self.counts.get(name, 0) + 1
+        with self._lock:
+            self.totals[name] = self.totals.get(name, 0.0) + seconds
+            self.counts[name] = self.counts.get(name, 0) + 1
 
     def merge(self, other: "StageTimers"):
         for k, v in other.totals.items():
