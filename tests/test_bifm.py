@@ -6,9 +6,6 @@ enumeration backend (ops/approx_search.seed_search_edits) whose own oracle
 tests live in test_approx_search.py.
 """
 
-import subprocess
-import sys
-
 import jax.numpy as jnp
 import numpy as np
 import pytest

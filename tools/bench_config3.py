@@ -3,7 +3,8 @@
 BASELINE.json config 3 is "GRCh38, 64 bins, v5e-16" — multi-chip hardware
 is not available in-image, so this measures the same DATABASE SCALE on the
 single real chip: 64 bins x 32 Mbp (2.05 Gbp total, the paper's B=64
-geometry), sampled SA rate 16, prefix_q=10, blocked+canonical IBF at
+geometry), sampled SA rate 8 (DY_C3_RATE; 8 beat 16 by +34% — the
+locate LF walk is the top device stage), prefix_q=10, blocked+canonical IBF at
 ~12 bits/kmer, lean device set (no bwt/occ upload). 1M SE 100bp reads,
 e<=3%.
 
@@ -14,6 +15,7 @@ Run:   python tools/bench_config3.py [n_reads]
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 from concurrent.futures import ProcessPoolExecutor
@@ -25,8 +27,18 @@ sys.path.insert(0, str(Path(__file__).parent.parent))
 
 BINS = 64
 BIN_BP = 32_000_000
+# sampled-SA rate: 16 fits HBM comfortably; 8 halves the locate LF walk
+# (the top device stage post-compaction) for ~+0.5 GiB residency
+RATE = int(os.environ.get("DY_C3_RATE", "8"))
 READ_LEN = 100
 CACHE = Path(__file__).parent.parent / ".bench_cache" / "config3"
+
+
+def _fm_path(b: int) -> "Path":
+    # rate-16 keeps the legacy name (shared with tools/bench_config4.py);
+    # other rates get their own artifact so A/Bs don't clobber the cache
+    return CACHE / (f"{b:04d}.fm.npz" if RATE == 16
+                    else f"{b:04d}.fm_r{RATE}.npz")
 
 
 def _build_bin(b: int) -> str:
@@ -34,17 +46,18 @@ def _build_bin(b: int) -> str:
     from dream_yara_tpu.io.seqstore import SeqStore
 
     sp = CACHE / f"{b:04d}.store.npz"
-    fp = CACHE / f"{b:04d}.fm.npz"
+    fp = _fm_path(b)
     if sp.exists() and fp.exists():
         return f"bin {b}: cached"
     rng = np.random.default_rng(1000 + b)
     g = rng.integers(0, 4, BIN_BP, dtype=np.int8)
     st = SeqStore.from_seqs([f"chr{b}"], [g])
     t0 = time.time()
-    fm = FMIndex.build(st.text, sample_rate=16, prefix_q=10)
-    st.save(sp)
+    fm = FMIndex.build(st.text, sample_rate=RATE, prefix_q=10)
+    if not sp.exists():
+        st.save(sp)
     fm.save(fp)
-    return f"bin {b}: built in {time.time() - t0:.0f}s"
+    return f"bin {b}: built in {time.time() - t0:.0f}s (rate {RATE})"
 
 
 def build_or_load(jobs: int = 4):
@@ -55,14 +68,13 @@ def build_or_load(jobs: int = 4):
 
     CACHE.mkdir(parents=True, exist_ok=True)
     t0 = time.time()
-    todo = [b for b in range(BINS)
-            if not (CACHE / f"{b:04d}.fm.npz").exists()]
+    todo = [b for b in range(BINS) if not _fm_path(b).exists()]
     if todo:
         with ProcessPoolExecutor(max_workers=jobs) as ex:
             for msg in ex.map(_build_bin, todo):
                 print(f"[c3] {msg}", file=sys.stderr)
     stores = [SeqStore.load(CACHE / f"{b:04d}.store.npz") for b in range(BINS)]
-    fms = [FMIndex.load(CACHE / f"{b:04d}.fm.npz") for b in range(BINS)]
+    fms = [FMIndex.load(_fm_path(b)) for b in range(BINS)]
 
     fpth = CACHE / "filter.npz"
     if fpth.exists():
