@@ -43,27 +43,48 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .rank import rank_all_fused_rows, rank_fused
+from .rank import rank_fused  # noqa: F401
+from ..index.fmindex import BLOCK
 
 _LOG2_BLOCK = 7
 
 
 def _ext_core(fused, counts, lo, hi, c):
     """Shared core: new (lo, hi) for symbol c plus the smaller-symbol
-    occ delta between the two rows. 2 row gathers per query."""
+    occ delta between the two rows.
+
+    Cost parity with a plain rank step: ONE fused row gather over the
+    concatenated (lo, hi) queries, and per row just TWO compare-counts
+    over the decoded block (== c for the interval, < c for the reverse
+    realignment) — the first cut computed all six symbols' occ (6
+    compare-counts) and measured 0.8x vs enumeration on the TPU; this
+    version restores the step-count advantage. BWT pad decodes to 7,
+    which is neither == nor < any real symbol code."""
     shape = lo.shape
-    lof, hif, cf = lo.reshape(-1), hi.reshape(-1), c.reshape(-1)
-    row_l = jnp.take(fused, lof >> _LOG2_BLOCK, axis=0)
-    row_h = jnp.take(fused, hif >> _LOG2_BLOCK, axis=0)
-    occ_l = rank_all_fused_rows(row_l, lof & 127)        # (Q, 6)
-    occ_h = rank_all_fused_rows(row_h, hif & 127)
-    base = jnp.take(counts, cf)
-    sel = lambda o: jnp.take_along_axis(o, cf[:, None], axis=1)[:, 0]
-    nlo = base + sel(occ_l)
-    nhi = base + sel(occ_h)
-    less = ((occ_h - occ_l)
-            * (jnp.arange(6, dtype=jnp.int32)[None, :] < cf[:, None])
-            ).sum(axis=1, dtype=jnp.int32)
+    cf = c.reshape(-1)
+    Q = cf.shape[0]
+    bounds = jnp.concatenate([lo.reshape(-1), hi.reshape(-1)])
+    row = jnp.take(fused, bounds >> _LOG2_BLOCK, axis=0)   # (2Q, 24) 1 gather
+    r = bounds & 127
+    c2 = jnp.tile(cf, 2)
+    words = row[:, 6:22].astype(jnp.uint32)                # (2Q, 16)
+    nib = (jnp.arange(8, dtype=jnp.uint32) * 4)[None, None, :]
+    chars = ((words[:, :, None] >> nib) & 7).reshape(2 * Q, BLOCK)
+    inpos = jnp.arange(BLOCK, dtype=jnp.int32)[None, :] < r[:, None]
+    cc = c2[:, None].astype(jnp.uint32)
+    occ_c = ((chars == cc) & inpos).sum(axis=1, dtype=jnp.int32)
+    occ_lt = ((chars < cc) & inpos).sum(axis=1, dtype=jnp.int32)
+    base_c = jnp.zeros(2 * Q, jnp.int32)
+    base_lt = jnp.zeros(2 * Q, jnp.int32)
+    for j in range(6):
+        base_c = base_c + jnp.where(c2 == j, row[:, j], 0)
+        base_lt = base_lt + jnp.where(c2 > j, row[:, j], 0)
+    rank_c = base_c + occ_c
+    rank_lt = base_lt + occ_lt
+    cbase = jnp.take(counts, cf)
+    nlo = cbase + rank_c[:Q]
+    nhi = cbase + rank_c[Q:]
+    less = rank_lt[Q:] - rank_lt[:Q]
     return nlo.reshape(shape), nhi.reshape(shape), less.reshape(shape)
 
 
