@@ -143,6 +143,13 @@ class MultiHostDreamMapper:
                        for b in self.my_bins}
         self.fms = {b: FMIndex.load(bin_file(db_dir, b, "fm"))
                     for b in self.my_bins}
+        # bidirectional sidecars (indexer --bidir): per-bin reverse rank
+        # rows for the search-scheme seed backend, same as DreamIndex.load
+        self.rfused = {}
+        for b in self.my_bins:
+            rp = bin_file(db_dir, b, "rfm")
+            if rp.exists():
+                self.rfused[b] = np.load(rp)["rfused"]
         # globally consistent pad sizes + a single SA sample rate (shard
         # shapes must match across processes; DeviceFMSet.build_np derives
         # the sampled-layout sizes from max_n, so any uniform rate works)
@@ -253,7 +260,8 @@ class MultiHostDreamMapper:
         if b not in self._bin_mappers:
             from ..pipeline.mapper import BinMapper
             self._bin_mappers[b] = BinMapper(self.stores[b], self.fms[b],
-                                             self.opts)
+                                             self.opts,
+                                             rfused=self.rfused.get(b))
         return self._bin_mappers[b]
 
     # --- mapping -----------------------------------------------------------

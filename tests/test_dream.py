@@ -209,6 +209,20 @@ def test_stream_multi_batch_order(dream_db):
     assert first_names == b1.names
 
 
+def test_stream_finisher_pool_identical(dream_db, monkeypatch):
+    """The ordered finisher pool (DY_FINISH_WORKERS>1) yields byte-identical
+    SAM in batch order vs serial finishing, across several batches."""
+    rng, genomes, index = dream_db
+    opts = MapperOptions(error_rate=0.03)
+    from dream_yara_tpu.pipeline.dis_mapper import dream_map_stream
+    batches = [planted_batch(rng, genomes, n_per_bin=2)[0] for _ in range(5)]
+    monkeypatch.setenv("DY_FINISH_WORKERS", "1")
+    serial = list(dream_map_stream(index, iter(batches), opts))
+    monkeypatch.setenv("DY_FINISH_WORKERS", "3")
+    pooled = list(dream_map_stream(index, iter(batches), opts))
+    assert serial == pooled
+
+
 def test_dream_equals_monolithic(dream_db):
     """The paper's validation method (SURVEY.md §4): the B-bin DREAM run must
     produce the identical SAM to a single monolithic index over the
