@@ -247,13 +247,27 @@ def _map_step_core(fm, reads, lengths, rate_ppm, max_errors, capacity,
                                   pfx_fetch=hooks.pfx)
     starts = m_start  # anchors below = hit pos - true start of matched part
     if sample_rate > 1:
-        # sampled SA: fetch row ids, then walk LF to marked rows
-        from ..ops.locate import locate_sampled_packed
+        # sampled SA: fetch row ids, then walk LF to marked rows. The walk
+        # MUST run on the fused rank rows, not raw bwt_blocks/occ: a lean
+        # DeviceFMSet slice (parallel/dream_mesh.py fallback path) carries
+        # only 1-block placeholders for those — the raw-rank walk then
+        # located only directly-marked rows (~1/rate of hits) and the
+        # mesh seed-overflow fallback silently lost the rest of its
+        # matches (found at DY_CAP2L=2.0 on config-3: 67% mapped).
+        from ..ops.locate import locate_sampled_fused
 
         sa_rows, hmask, overflow = gather_hit_rows(lo, hi, capacity)
-        pos = locate_sampled_packed(
-            fm.bwt_blocks, fm.occ, fm.counts, fm.sa, fm.sa_mark_bits,
-            fm.sa_rank_ck, sa_rows.reshape(-1), sample_rate,
+        mark4 = fm.sa_mark_bits.reshape(-1, 4)
+        pos = locate_sampled_fused(
+            row_fetch=lambda b: jnp.take(fm.fused, b, axis=0),
+            counts_fetch=lambda c: jnp.take(fm.counts, c),
+            mark_words_fetch=lambda g: jnp.take(
+                mark4, jnp.clip(g, 0, mark4.shape[0] - 1), axis=0),
+            ck_fetch=lambda g: jnp.take(
+                fm.sa_rank_ck, jnp.clip(g, 0, fm.sa_rank_ck.shape[0] - 1)),
+            sample_fetch=lambda i: jnp.take(
+                fm.sa, jnp.clip(i, 0, fm.sa.shape[0] - 1)),
+            rows=sa_rows.reshape(-1), sample_rate=sample_rate,
             valid=hmask.reshape(-1)).reshape(sa_rows.shape)
     else:
         pos, hmask, overflow = gather_hits(fm.sa, lo, hi, capacity,

@@ -277,6 +277,31 @@ def test_mesh_sampled_sa_loc_cap_spill_identical(monkeypatch):
     assert mesh_dream_sam(mapper, batch) == ref
 
 
+def test_mesh_lean_mass_spill_identical(monkeypatch):
+    """Regression: the LEAN device set (config-3 default) + mass locate
+    spill. The seed-overflow fallback re-maps through the single-chip
+    BinMapper on a lean DeviceFMSet slice whose raw bwt/occ are
+    placeholders — the sampled locate walk must therefore use the fused
+    rank rows; the raw-rank walk silently lost every hit whose SA row was
+    not directly marked (~(1-1/rate) of them)."""
+    rng = np.random.default_rng(15)
+    B = 2
+    unit = random_text(rng, 60)
+    genomes = [np.concatenate([unit] * 40 + [random_text(rng, 2000)]),
+               random_text(rng, 4000)]
+    stores = [SeqStore.from_seqs([f"g{b}"], [genomes[b]]) for b in range(B)]
+    fms = [FMIndex.build(st.text, sample_rate=4) for st in stores]
+    index = DreamIndex(stores, fms, None, "none")
+    batch, _ = _planted(rng, genomes, n_per_bin=6)
+    opts = MapperOptions(error_rate=0.03)
+    ref = dream_map_sam(index, batch, opts)
+    monkeypatch.setenv("DY_CAP2L", "0.02")
+    mapper = MeshDreamMapper(index, opts, n_devices=4, lean=True)
+    sam = mesh_dream_sam(mapper, batch)
+    assert mapper.fallback_diag["seed_ovf"] > 0   # the spill path engaged
+    assert sam == ref
+
+
 def test_mesh_pe_identical(db_and_reads):
     """PE mode (pairing + rescue) through the mesh matches single-device."""
     genomes, index, batch_se, truth = db_and_reads
