@@ -149,7 +149,9 @@ class MultiHostDreamMapper:
         for b in self.my_bins:
             rp = bin_file(db_dir, b, "rfm")
             if rp.exists():
-                self.rfused[b] = np.load(rp)["rfused"]
+                rf = np.load(rp)["rfused"]
+                if rf.shape[0] == self.fms[b].bwt_blocks.shape[0] + 1:
+                    self.rfused[b] = rf   # stale sidecars are ignored
         # globally consistent pad sizes + a single SA sample rate (shard
         # shapes must match across processes; DeviceFMSet.build_np derives
         # the sampled-layout sizes from max_n, so any uniform rate works)

@@ -75,7 +75,15 @@ class DreamIndex:
             fms.append(FMIndex.load(bin_file(db_dir, b, "fm")))
             rp = bin_file(db_dir, b, "rfm")
             if rp.exists():
-                rfused[b] = np.load(rp)["rfused"]
+                rf = np.load(rp)["rfused"]
+                # a stale sidecar (text changed without --bidir rebuild)
+                # must not poison the search-scheme backend
+                if rf.shape[0] == fms[-1].bwt_blocks.shape[0] + 1:
+                    rfused[b] = rf
+                else:
+                    import sys as _sys
+                    print(f"[dream] ignoring stale bidir sidecar {rp}",
+                          file=_sys.stderr)
         filt = None
         if filter_type == "bloom" and (db_dir / "db.filter.npz").exists():
             filt = InterleavedBloomFilter.load(db_dir / "db.filter")

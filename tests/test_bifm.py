@@ -268,3 +268,10 @@ def test_indexer_bidir_cli(tmp_path):
     idx2 = DreamIndex.load(db, filter_type="none")
     exp2, _ = build_reverse_fused(idx2.stores[0].text)
     assert np.array_equal(idx2.rfused[0], exp2)
+
+    # a stale sidecar (wrong shape for its bin) is ignored, not loaded
+    np.savez(bin_file(db, 1, "rfm"),
+             rfused=np.zeros((3, 24), np.int32),
+             rcounts=np.zeros(7, np.int32))
+    idx3 = DreamIndex.load(db, filter_type="none")
+    assert 1 not in idx3.rfused and 0 in idx3.rfused
