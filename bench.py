@@ -201,11 +201,7 @@ def main():
 
     threading.Thread(target=watchdog, daemon=True).start()
 
-    # five timed passes, report the MEDIAN: the shared tunnel adds up to
-    # ~25% run-to-run noise (BASELINE.md), and a best-of headline would
-    # ride that noise instead of the code
-    dts = []
-    for rep in range(5):
+    def run_pass(rep_label):
         timers = StageTimers()
         t0 = time.time()
         n_lines = 0
@@ -217,10 +213,30 @@ def main():
             n_lines += sam.count(b"\n")
         dt = time.time() - t0
         assert n_lines >= n_total
-        print(f"[bench] pass {rep}: {n_total} reads in {dt:.2f}s", file=sys.stderr)
+        print(f"[bench] pass {rep_label}: {n_total} reads in {dt:.2f}s",
+              file=sys.stderr)
         print(timers.report(), file=sys.stderr)
-        dts.append(dt)
         last_progress[0] = time.time()
+        return dt
+
+    # Steady-state warmup: the one compile-warmup batch above is NOT enough
+    # on this stack — round-4's official artifact timed a still-warming ramp
+    # (pass walls 9.74 -> 4.78s monotonically falling, device wait+fetch
+    # 8.1 -> 3.4s) and under-reported the build ~35%. Run UNTIMED passes
+    # until two consecutive walls agree within 10% (cap 5), THEN time 5 and
+    # report the median (reference discipline: Timer<> reports steady-stage
+    # wall times, src/misc_timer.h [U]).
+    prev = run_pass("warm0")
+    for w in range(1, 5):
+        cur = run_pass(f"warm{w}")
+        if abs(cur - prev) <= 0.10 * min(cur, prev):
+            break
+        prev = cur
+
+    # five timed passes, report the MEDIAN: the shared tunnel adds up to
+    # ~25% run-to-run noise (BASELINE.md), and a best-of headline would
+    # ride that noise instead of the code
+    dts = [run_pass(rep) for rep in range(5)]
     dt = sorted(dts)[len(dts) // 2]
     rps = n_total / dt
 
@@ -229,6 +245,12 @@ def main():
         "value": round(rps, 1),
         "unit": "reads/s",
         "vs_baseline": round(rps / NOMINAL_REFERENCE_READS_PER_S, 3),
+        # vs_baseline is a NORMALIZATION, not a measured reference run: the
+        # reference binary is unbuildable offline, so the divisor is the
+        # nominal 50k reads/s midpoint of the paper's 10^4-10^5 range.
+        "baseline_note": "normalized vs nominal 50k reads/s (paper midpoint);"
+                         " reference binary not measured in this environment",
+        "timed_passes_s": [round(x, 2) for x in dts],
     }
     try:
         stamped = json.dumps(
