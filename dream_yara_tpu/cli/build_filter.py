@@ -33,6 +33,14 @@ def main(argv=None):
                    help="minimizer window (> kmer-size enables winnowing: "
                         "~(w-k)/2x smaller filter load; routing threshold "
                         "becomes probabilistic — see docs)")
+    p.add_argument("--calib-trials", type=int, default=2000,
+                   help="Monte-Carlo trials per (length, error) cell for the "
+                        "minimizer slack-table calibration stored in the "
+                        "artifact (0 disables; minimizer mode only)")
+    p.add_argument("--calib-emax", type=int, default=12,
+                   help="largest per-read error count the calibrated "
+                        "minimizer table covers (past it the classifier "
+                        "extrapolates conservatively)")
     p.add_argument("-t", "--threads", type=int, default=1)
     p.add_argument("-v", "--verbose", action="count", default=0)
     a = p.parse_args(argv)
@@ -41,15 +49,6 @@ def main(argv=None):
         print("[build-filter] filter-type none: nothing to build", file=sys.stderr)
         return
 
-    if a.window_size > a.kmer_size:
-        w0 = a.window_size - a.kmer_size + 1
-        per_err = 2 * (-(-a.kmer_size // w0) + 2)
-        print(f"[build-filter] WARNING: minimizer mode (-w {a.window_size}) "
-              f"charges ~{per_err} minimizers per read error in the "
-              f"no-false-negative routing threshold; beyond ~1-2 errors per "
-              f"read the threshold collapses and every read routes to every "
-              f"bin (measured SLOWER than -w 0 at 3% error rates — "
-              f"docs/OUTPUT_CONTRACT.md round-3 addendum)", file=sys.stderr)
 
     from ..index.ibf import InterleavedBloomFilter
     from ..index.kdx import DirectKmerFilter
@@ -95,6 +94,19 @@ def main(argv=None):
             if a.verbose:
                 print(f"[build-filter] bin {b}: {len(seqs)} contigs",
                       file=sys.stderr)
+
+    if a.filter_type == "bloom" and a.window_size > a.kmer_size \
+            and a.calib_trials > 0:
+        # calibrate the minimizer routing slack with device counting
+        # semantics and store the table in the artifact — the 2D closed-form
+        # heuristic measured ~2x too loose (its threshold collapses past
+        # ~2 errors and every read routes to every bin)
+        tc = time.time()
+        filt.calibrate(e_max=a.calib_emax, trials=a.calib_trials)
+        print(f"[build-filter] minimizer slack table (e<=%d): %s "
+              f"(%.1fs Monte-Carlo)" % (a.calib_emax,
+                                        filt.slack_table.tolist(),
+                                        time.time() - tc), file=sys.stderr)
 
     db_dir = Path(a.output_dir)
     db_dir.mkdir(parents=True, exist_ok=True)

@@ -52,6 +52,15 @@ class InterleavedBloomFilter:
                        # (hashing.ibf_blocked_rows) — gathers cost per index
                        # on TPU. Default for new filters with <= 512 bins;
                        # 0 = classic layout (old artifacts, or > 512 bins).
+    slack_table: np.ndarray | None = None
+                       # minimizer-mode routing slack per error count,
+                       # Monte-Carlo'd at build time with device counting
+                       # semantics (index/minimizer_calib.py): threshold
+                       # t(e) = n_minis - slack_table[e]. Stored IN the
+                       # artifact so every classify path (host oracle,
+                       # single-chip, mesh, multihost) uses the same
+                       # calibrated bound; None = fall back to the loose
+                       # 2D heuristic (minimizer_threshold).
 
     def __post_init__(self):
         if self.window < self.k:
@@ -186,13 +195,46 @@ class InterleavedBloomFilter:
         D = -(-k // W0) + 2
         return max(1, n_minis - errors * 2 * D)
 
+    def routing_threshold(self, n_minis: int, errors: int) -> int:
+        """Minimizer-mode threshold from the calibrated slack table when the
+        artifact carries one (build_filter computes it; ~2x tighter than
+        the 2D heuristic), else the heuristic. Past the table's last entry
+        the slack extrapolates with the heuristic's per-error 2D step —
+        conservative, never unsafe."""
+        if self.slack_table is None or len(self.slack_table) == 0:
+            return self.minimizer_threshold(n_minis, self.k, self.window,
+                                            errors)
+        e_max = len(self.slack_table) - 1
+        W0 = max(self.window - self.k + 1, 1)
+        D = -(-self.k // W0) + 2
+        slack = (int(self.slack_table[min(errors, e_max)])
+                 + max(errors - e_max, 0) * 2 * D)
+        return max(1, n_minis - slack)
+
+    def calibrate(self, e_max: int = 12, trials: int = 2000,
+                  q: float = 1e-3, read_lens=(100, 150, 250), seed: int = 0):
+        """Monte-Carlo the slack table for this filter's (k, w) and store it
+        in the artifact (index/minimizer_calib.py). No-op when w == k (the
+        k-mer lemma is exact there)."""
+        if self.window <= self.k:
+            return
+        from .minimizer_calib import calibrate_slack_table
+
+        self.slack_table = calibrate_slack_table(
+            self.k, self.window, read_lens=read_lens, e_max=e_max,
+            trials=trials, q=q, seed=seed,
+            canonical=bool(self.canonical))
+
     # --- serialization ---
 
     def save(self, path):
+        extra = {}
+        if self.slack_table is not None:
+            extra["slack_table"] = np.asarray(self.slack_table, np.int32)
         np.savez(path, bins=self.bins, n_rows=self.n_rows,
                  n_hashes=self.n_hashes, k=self.k, words=self.words,
                  window=self.window, canonical=self.canonical,
-                 blocked=self.blocked)
+                 blocked=self.blocked, **extra)
 
     @classmethod
     def load(cls, path) -> "InterleavedBloomFilter":
@@ -205,4 +247,6 @@ class InterleavedBloomFilter:
                    window=int(z["window"]) if "window" in z.files else 0,
                    canonical=(int(z["canonical"])
                               if "canonical" in z.files else 0),
-                   blocked=int(z["blocked"]) if "blocked" in z.files else 0)
+                   blocked=int(z["blocked"]) if "blocked" in z.files else 0,
+                   slack_table=(z["slack_table"]
+                                if "slack_table" in z.files else None))

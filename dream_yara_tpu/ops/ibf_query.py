@@ -318,13 +318,24 @@ def ibf_bin_counts(filter_words: jnp.ndarray, reads: jnp.ndarray,
     return counts.reshape(R, -1), n_sel
 
 
-def classify_thresholds(lengths2, n_sel, k: int, window: int, rate_ppm: int):
-    """Per-row routing threshold: k-mer lemma, or the probabilistic
-    minimizer bound when window > k (index/ibf.minimizer_threshold)."""
+def classify_thresholds(lengths2, n_sel, k: int, window: int, rate_ppm: int,
+                        slack_table=None):
+    """Per-row routing threshold: k-mer lemma, or the minimizer bound when
+    window > k — the CALIBRATED slack table when the filter artifact
+    carries one (index/minimizer_calib.py, ~2x tighter), else the 2D
+    heuristic (index/ibf.minimizer_threshold). Past the table's last entry
+    the slack extrapolates with the heuristic's per-error step
+    (conservative, never unsafe)."""
     e = (lengths2 * jnp.int32(rate_ppm)) // 10_000
     if window > k:
         W0 = max(window - k + 1, 1)
         D = -(-k // W0) + 2
+        if slack_table is not None:
+            e_max = slack_table.shape[0] - 1
+            slack = (jnp.take(slack_table.astype(jnp.int32),
+                              jnp.clip(e, 0, e_max))
+                     + jnp.maximum(e - e_max, 0) * 2 * D)
+            return jnp.maximum(n_sel - slack, 1)
         return jnp.maximum(n_sel - e * 2 * D, 1)
     return jnp.maximum((lengths2 - k + 1) - k * e, 1)
 
@@ -341,8 +352,8 @@ def ibf_candidates(filter_words, reads, lengths, k, n_hashes, thresholds,
                    static_argnames=("half", "L", "k", "n_hashes", "rate_ppm",
                                     "window", "canonical", "blocked",
                                     "direct", "n_bins", "block_s"))
-def ibf_classify_packed(filter_words, blob, *, half: int, L: int,
-                        k: int, n_hashes: int, rate_ppm: int,
+def ibf_classify_packed(filter_words, blob, slack_table=None, *, half: int,
+                        L: int, k: int, n_hashes: int, rate_ppm: int,
                         window: int = 0, canonical: bool = False,
                         blocked: bool = False, direct: bool = False,
                         n_bins: int = 0, block_s: int = 0):
@@ -362,7 +373,8 @@ def ibf_classify_packed(filter_words, blob, *, half: int, L: int,
                                        k, n_hashes, window, canonical=True,
                                        blocked=blocked, n_bins=n_bins,
                                        block_s=block_s)
-        thr = classify_thresholds(lengths, n_sel, k, window, rate_ppm)
+        thr = classify_thresholds(lengths, n_sel, k, window, rate_ppm,
+                                  slack_table)
         cand = counts >= thr[:, None]                         # (half, Bp)
     else:
         reads = unpack_reads(packed, nmask, lengths, L)       # (R2, L)
@@ -371,7 +383,8 @@ def ibf_classify_packed(filter_words, blob, *, half: int, L: int,
                                        n_hashes, window, blocked=blocked,
                                        direct=direct, n_bins=n_bins,
                                        block_s=block_s)
-        thr = classify_thresholds(lengths2, n_sel, k, window, rate_ppm)
+        thr = classify_thresholds(lengths2, n_sel, k, window, rate_ppm,
+                                  slack_table)
         mask = counts >= thr[:, None]
         cand = mask[:half] | mask[half:]                      # (half, Bp)
     w = cand.shape[1] // 32

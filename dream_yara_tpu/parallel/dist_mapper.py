@@ -74,11 +74,12 @@ META_OK_SHIFT = 31
 
 
 def routing_from_counts(counts, n_sel, lengths2, k: int, window: int,
-                        rate_ppm: int, half: int):
-    """Routing threshold (k-mer lemma, or the probabilistic minimizer bound
-    when window > k) + orientation OR — identical to the single-chip
+                        rate_ppm: int, half: int, slack_table=None):
+    """Routing threshold (k-mer lemma, or the calibrated/heuristic minimizer
+    bound when window > k) + orientation OR — identical to the single-chip
     classifier (ops/ibf_query.ibf_classify_packed)."""
-    thr = classify_thresholds(lengths2, n_sel, k, window, rate_ppm)
+    thr = classify_thresholds(lengths2, n_sel, k, window, rate_ppm,
+                              slack_table)
     mask = counts >= thr[:, None]
     return mask[:half] | mask[half:]                       # (half, Bp)
 
@@ -91,7 +92,8 @@ def build_mesh_dream_step(mesh: Mesh, *, half_loc: int, L: int, B: int,
                           use_filter: bool = True, uniform_len: bool = False,
                           route_override: bool = False,
                           canonical: bool = False, blocked: bool = False,
-                          direct: bool = False, block_s: int = 0):
+                          direct: bool = False, block_s: int = 0,
+                          slack_table=None):
     """Jitted sharded step: (fmset, filter_words, blob[, route_words])
     -> MeshMapOut.
 
@@ -130,6 +132,9 @@ def build_mesh_dream_step(mesh: Mesh, *, half_loc: int, L: int, B: int,
     # exceeds the budget loses speed, never matches; DY_CAP2V overrides.
     cap2v = max(8, int(float(os.environ.get("DY_CAP2V", "1.25")) * t_cap))
     Wb_in = (B + 31) // 32
+    # calibrated minimizer slack (tiny, replicated as a jit constant)
+    slack_j = (jnp.asarray(np.asarray(slack_table, np.int32))
+               if slack_table is not None else None)
 
     def local_step(fmset: DeviceFMSet, filter_words, blob, route_in):
         packed, nmask, lengths = unpack_blob(blob, half_loc, L)
@@ -148,7 +153,8 @@ def build_mesh_dream_step(mesh: Mesh, *, half_loc: int, L: int, B: int,
                                            lengths, k, n_hashes, window,
                                            canonical=True, blocked=blocked,
                                            n_bins=B, block_s=block_s)
-            thr = classify_thresholds(lengths, n_sel, k, window, rate_ppm)
+            thr = classify_thresholds(lengths, n_sel, k, window, rate_ppm,
+                                      slack_j)
             cand = (counts >= thr[:, None])[:, :B]
         elif use_filter:
             counts, n_sel = ibf_bin_counts(filter_words, reads, lengths2, k,
@@ -156,7 +162,7 @@ def build_mesh_dream_step(mesh: Mesh, *, half_loc: int, L: int, B: int,
                                            direct=direct, n_bins=B,
                                            block_s=block_s)
             cand = routing_from_counts(counts, n_sel, lengths2, k, window,
-                                       rate_ppm, half_loc)
+                                       rate_ppm, half_loc, slack_j)
             cand = cand[:, :B]
         else:
             cand = jnp.broadcast_to((lengths > 0)[:, None], (half_loc, B))

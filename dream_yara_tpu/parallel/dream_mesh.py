@@ -86,11 +86,13 @@ class MeshDreamMapper:
             self.window = getattr(index.filter, "window", 0)
             self.canonical = bool(getattr(index.filter, "canonical", 0))
             self.direct = bool(getattr(index.filter, "direct", 0))
+            self.slack_table = getattr(index.filter, "slack_table", None)
         else:
             self.filter_words = jnp.zeros((1, 2), dtype=jnp.uint32)
             self.block_s = 0
             self.k = self.n_hashes = self.window = 0
             self.canonical = self.blocked = self.direct = False
+            self.slack_table = None
         self._steps: dict = {}
 
     POOL_MAX = 1 << 19   # meta row field bound (dist_mapper.META_ROW_BITS)
@@ -132,7 +134,7 @@ class MeshDreamMapper:
                 use_filter=self.use_filter, uniform_len=uniform_len,
                 route_override=route_override, canonical=self.canonical,
                 blocked=self.blocked, direct=self.direct,
-                block_s=self.block_s)
+                block_s=self.block_s, slack_table=self.slack_table)
         return self._steps[key]
 
     def map_batch(self, batch: ReadBatch,

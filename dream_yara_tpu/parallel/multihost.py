@@ -219,12 +219,14 @@ class MultiHostDreamMapper:
             self.window = getattr(self.filter, "window", 0)
             self.canonical = bool(getattr(self.filter, "canonical", 0))
             self.direct = bool(getattr(self.filter, "direct", 0))
+            self.slack_table = getattr(self.filter, "slack_table", None)
         else:
             sh = NamedSharding(self.mesh, P())
             self.filter_words = jax.make_array_from_process_local_data(
                 sh, np.zeros((1, 2), np.uint32), (1, 2))
             self.k = self.n_hashes = self.window = 0
             self.canonical = self.blocked = self.direct = False
+            self.slack_table = None
         self._steps: dict = {}
         self._bin_mappers: dict = {}
 
@@ -255,7 +257,7 @@ class MultiHostDreamMapper:
                 n_hashes=self.n_hashes, window=self.window,
                 use_filter=self.filter is not None,
                 canonical=self.canonical, blocked=self.blocked,
-                direct=self.direct)
+                direct=self.direct, slack_table=self.slack_table)
         return self._steps[key]
 
     def _bin_mapper(self, b: int):

@@ -147,6 +147,9 @@ def classify_reads(index: DreamIndex, batch: ReadBatch, opts: MapperOptions,
     from ..ops.ibf_query import ibf_classify_packed
     from ..ops.readpack import pack_blob_with_lengths
 
+    slack = getattr(filt, "slack_table", None)
+    slack_j = jnp.asarray(np.asarray(slack, np.int32)) if slack is not None \
+        else None
     mask = np.zeros((n, B), dtype=bool)
     shifts = np.arange(32, dtype=np.uint32)
     for c0 in range(0, n, IBF_READS):
@@ -155,7 +158,7 @@ def classify_reads(index: DreamIndex, batch: ReadBatch, opts: MapperOptions,
         lens[: len(ids)] = batch.lengths[ids]
         blob = pack_blob_with_lengths(batch.seqs[ids], lens, IBF_READS, L)
         cw = np.asarray(ibf_classify_packed(
-            words, jnp.asarray(blob), half=IBF_READS,
+            words, jnp.asarray(blob), slack_j, half=IBF_READS,
             L=L, k=filt.k, n_hashes=filt.n_hashes, rate_ppm=rate_ppm,
             window=getattr(filt, "window", 0), canonical=canonical,
             blocked=blocked, direct=bool(getattr(filt, "direct", 0)),

@@ -270,3 +270,38 @@ def test_minimizer_filter_end_to_end(dream_db):
     found = set(zip(m.read_id.tolist(), m.strand.tolist(), m.begin.tolist()))
     for rid, (b, p, strand) in enumerate(truth):
         assert (rid, strand, int(starts[b]) + p) in found, f"read {rid}"
+
+
+def test_minimizer_filter_calibrated_table_end_to_end(dream_db):
+    """Same as above but with the calibrated slack table stored in the
+    artifact (the production minimizer config): planted reads still route
+    and map, and the tighter threshold is no less selective than the
+    heuristic's."""
+    rng, genomes, index = dream_db
+    B = len(genomes)
+    ibf = InterleavedBloomFilter.create(B, size_bits=1 << 22, n_hashes=3,
+                                        k=19, window=27)
+    for b, g in enumerate(genomes):
+        ibf.add_kmers(g, b)
+    ibf.calibrate(e_max=4, trials=300, read_lens=(100,))
+    assert ibf.slack_table is not None and ibf.slack_table[0] == 0
+    index_m = DreamIndex(index.stores, index.fms, ibf, "bloom")
+    batch, truth = planted_batch(rng, genomes)
+    opts = MapperOptions(error_rate=0.03)
+    routing = classify_reads(index_m, batch, opts)
+    for rid, (b, p, strand) in enumerate(truth):
+        assert routing[rid, b], f"read {rid} not routed to bin {b}"
+    # calibrated threshold is >= the heuristic's, so routing can only shrink
+    ibf_h = InterleavedBloomFilter(bins=ibf.bins, n_rows=ibf.n_rows,
+                                   n_hashes=ibf.n_hashes, k=ibf.k,
+                                   words=ibf.words, window=ibf.window,
+                                   canonical=ibf.canonical,
+                                   blocked=ibf.blocked)
+    index_h = DreamIndex(index.stores, index.fms, ibf_h, "bloom")
+    routing_h = classify_reads(index_h, batch, opts)
+    assert routing.sum() <= routing_h.sum()
+    m = dis_map_batch(index_m, batch, opts)
+    starts = index_m.contigs.bin_starts
+    found = set(zip(m.read_id.tolist(), m.strand.tolist(), m.begin.tolist()))
+    for rid, (b, p, strand) in enumerate(truth):
+        assert (rid, strand, int(starts[b]) + p) in found, f"read {rid}"

@@ -466,3 +466,27 @@ def test_strata_count_widens_reporting(cassette_db):
     sub1 = [s for s in mapped_sites(sam1) if s[0].startswith("sub")
             and s[2] == "g2"]
     assert len(sub1) >= 4, sub1
+
+
+def test_mesh_minimizer_calibrated_identical(db_and_reads):
+    """Minimizer filter + calibrated slack table on the mesh path: SAM
+    byte-identical to the single-device pipeline (same table, same
+    thresholds on both paths)."""
+    genomes, index, batch, truth = db_and_reads
+    B = len(genomes)
+    filt = InterleavedBloomFilter.create(B, size_bits=1 << 22, n_hashes=3,
+                                         k=19, window=27)
+    for b, g in enumerate(genomes):
+        filt.add_kmers(g, b)
+    filt.calibrate(e_max=4, trials=200, read_lens=(100,))
+    index_m = DreamIndex(index.stores, index.fms, filt, "bloom")
+    opts = MapperOptions(error_rate=0.03, secondary_matches="tag")
+    ref = dream_map_sam(index_m, batch, opts)
+    mapper = MeshDreamMapper(index_m, opts, n_devices=8)
+    got = mesh_dream_sam(mapper, batch)
+    assert got == ref
+    starts = index_m.contigs.bin_starts
+    m = mapper.map_batch(batch)
+    found = set(zip(m.read_id.tolist(), m.strand.tolist(), m.begin.tolist()))
+    for rid, (b, p, strand) in enumerate(truth):
+        assert (rid, strand, int(starts[b]) + p) in found, f"read {rid}"
