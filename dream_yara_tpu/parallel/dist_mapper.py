@@ -65,6 +65,9 @@ class MeshMapOut(NamedTuple):
     ovf_rows: jnp.ndarray     # (bin_ax, D*2*t_cap) bool: seed-hit overflow per
                               # SLOT ROW ([t_cap fwd | t_cap rc]) — lets the
                               # host fall back per (read, bin) pair
+    v_need: jnp.ndarray       # (bin_ax, D) int32 true verify-lane demand
+    loc_need: jnp.ndarray     # (bin_ax, D) int32 true locate-lane demand
+                              # (cap auto-tuner inputs; see dream_mesh)
 
 
 META_ROW_BITS = 20            # flat slot rows: up to 2*t_cap < 2^20
@@ -93,7 +96,8 @@ def build_mesh_dream_step(mesh: Mesh, *, half_loc: int, L: int, B: int,
                           route_override: bool = False,
                           canonical: bool = False, blocked: bool = False,
                           direct: bool = False, block_s: int = 0,
-                          slack_table=None):
+                          slack_table=None, cap2l: float | None = None,
+                          cap2v_f: float | None = None):
     """Jitted sharded step: (fmset, filter_words, blob[, route_words])
     -> MeshMapOut.
 
@@ -130,7 +134,9 @@ def build_mesh_dream_step(mesh: Mesh, *, half_loc: int, L: int, B: int,
     # verify lanes AND a 25% smaller begin/end/meta fetch through the
     # tunnel). Spills drain via the host fallback, so a workload that
     # exceeds the budget loses speed, never matches; DY_CAP2V overrides.
-    cap2v = max(8, int(float(os.environ.get("DY_CAP2V", "1.25")) * t_cap))
+    if cap2v_f is None:
+        cap2v_f = float(os.environ.get("DY_CAP2V", "1.25"))
+    cap2v = max(8, int(cap2v_f * t_cap))
     Wb_in = (B + 31) // 32
     # calibrated minimizer slack (tiny, replicated as a jit constant)
     slack_j = (jnp.asarray(np.asarray(slack_table, np.int32))
@@ -183,7 +189,7 @@ def build_mesh_dream_step(mesh: Mesh, *, half_loc: int, L: int, B: int,
             half_loc=half_loc, rate_ppm=rate_ppm, max_errors=max_errors,
             capacity=capacity, max_slen=max_slen, prefix_q=prefix_q,
             compact_cap=cap2v, uniform_len=uniform_len,
-            sample_rate=sample_rate, use_pallas=use_pallas)
+            sample_rate=sample_rate, use_pallas=use_pallas, cap2l=cap2l)
         meta = (out.row
                 | (jnp.clip(out.dist, 0, 31) << META_DIST_SHIFT)
                 | (out.ok.astype(jnp.int32) << META_OK_SHIFT))
@@ -196,7 +202,8 @@ def build_mesh_dream_step(mesh: Mesh, *, half_loc: int, L: int, B: int,
             overflow_total=one(out.overflow_total),
             n_spilled=one(out.n_spilled),
             route_overflow=one(route_ovf), route_words=route_words,
-            ovf_rows=ovf_row[None, :])
+            ovf_rows=ovf_row[None, :],
+            v_need=one(out.v_need), loc_need=one(out.loc_need))
 
     fm_specs = DeviceFM(
         bwt_blocks=P("bin"), occ=P("bin"), counts=P("bin"), sa=P("bin"),
@@ -217,7 +224,8 @@ def build_mesh_dream_step(mesh: Mesh, *, half_loc: int, L: int, B: int,
         begin=P("bin", "data"), end=P("bin", "data"),
         meta=P("bin", "data"), overflow_total=P("bin", "data"),
         n_spilled=P("bin", "data"), route_overflow=P("bin", "data"),
-        route_words=P("data"), ovf_rows=P("bin", "data"))
+        route_words=P("data"), ovf_rows=P("bin", "data"),
+        v_need=P("bin", "data"), loc_need=P("bin", "data"))
     if route_override:
         sharded = jax.shard_map(
             local_step, mesh=mesh,

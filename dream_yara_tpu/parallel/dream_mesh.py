@@ -121,9 +121,10 @@ class MeshDreamMapper:
 
     def _step(self, half_loc: int, L: int, r_cap: int, rate_ppm: int,
               max_err: int, max_slen: int, uniform_len: bool = False,
+              cap2l: float | None = None, cap2v_f: float | None = None,
               route_override: bool = False):
         key = (half_loc, L, r_cap, rate_ppm, max_err, uniform_len,
-               route_override)
+               cap2l, cap2v_f, route_override)
         if key not in self._steps:
             self._steps[key] = build_mesh_dream_step(
                 self.mesh, half_loc=half_loc, L=L, B=self.B, r_cap=r_cap,
@@ -134,8 +135,59 @@ class MeshDreamMapper:
                 use_filter=self.use_filter, uniform_len=uniform_len,
                 route_override=route_override, canonical=self.canonical,
                 blocked=self.blocked, direct=self.direct,
-                block_s=self.block_s, slack_table=self.slack_table)
+                block_s=self.block_s, slack_table=self.slack_table,
+                cap2l=cap2l, cap2v_f=cap2v_f)
         return self._steps[key]
+
+    # --- locate/verify lane-cap auto-tuning --------------------------------
+    #
+    # The sampled-SA LF walk costs sample_rate-1 row-gather iterations PER
+    # STATIC LANE (loc_cap = cap2l * t_cap lanes walked whether valid or
+    # not), and the verify budget (cap2v = cap2v_f * t_cap) sizes both the
+    # DP lanes and the begin/end/meta d2h fetch. The conservative defaults
+    # (DY_CAP2L=4.0, DY_CAP2V=1.25) pay for worst-case demand every batch;
+    # the true demands come back with every mesh pass (MeshMapOut
+    # v_need/loc_need), so after the first batch the caps shrink to
+    # margin * observed-max (quantized to limit recompiles; monotone grow
+    # if a later batch demands more — an undersized batch still completes
+    # through the overflow/spill fallbacks, it just costs time). Explicit
+    # DY_CAP2L / DY_CAP2V env pins a knob; DY_TUNE_CAPS=0 disables tuning.
+    _Q = 0.25                   # cap quantum (recompile-churn limiter)
+    _MARGIN_L = 1.3             # loc overspill -> per-pair host fallback
+    _MARGIN_V = 1.5             # verify spill -> whole-device re-map (dear)
+
+    def _caps(self) -> tuple[float, float]:
+        import os
+
+        def _default(env, dflt):
+            v = os.environ.get(env)
+            return (float(v) if v is not None else dflt), v is not None
+
+        cap2l, l_fixed = _default("DY_CAP2L", 4.0)
+        cap2v, v_fixed = _default("DY_CAP2V", 1.25)
+        if os.environ.get("DY_TUNE_CAPS", "1") == "0":
+            return cap2l, cap2v
+
+        def _quant(x, lo, hi):
+            q = -(-x // self._Q) * self._Q          # round UP to quantum
+            return float(min(hi, max(lo, q)))
+
+        if not l_fixed and getattr(self, "_seen_loc_f", None) is not None:
+            cap2l = _quant(self._MARGIN_L * self._seen_loc_f, self._Q, cap2l)
+        if not v_fixed and getattr(self, "_seen_v_f", None) is not None:
+            cap2v = _quant(self._MARGIN_V * self._seen_v_f, self._Q, cap2v)
+        return cap2l, cap2v
+
+    def _observe_demand(self, out, r_cap: int):
+        t = float(max(r_cap, 1))
+        lf = float(np.max(out.loc_need)) / t
+        vf = float(np.max(out.v_need)) / t
+        self._seen_loc_f = max(getattr(self, "_seen_loc_f", 0.0) or 0.0, lf)
+        self._seen_v_f = max(getattr(self, "_seen_v_f", 0.0) or 0.0, vf)
+        d = getattr(self, "fallback_diag", None)
+        if d is not None:      # bench visibility: observed demand ratios
+            d["loc_f"] = round(self._seen_loc_f, 3)
+            d["v_f"] = round(self._seen_v_f, 3)
 
     def map_batch(self, batch: ReadBatch,
                   timers: StageTimers | None = None) -> Matches:
@@ -159,8 +211,9 @@ class MeshDreamMapper:
         r_cap = self._r_cap(half_loc)
         from ..pipeline.map_step import uniform_len_ok
         uniform_len = uniform_len_ok(batch.lengths, L, rate_ppm, max_err)
+        cap2l, cap2v_f = self._caps()
         step_key = (half_loc, L, r_cap, rate_ppm, max_err, max_slen,
-                    uniform_len)
+                    uniform_len, cap2l, cap2v_f)
         step = self._step(*step_key)
         with timers.stage("mesh map (device)"):
             out_dev: MeshMapOut = step(self.fmset, self.filter_words,
@@ -193,6 +246,7 @@ class MeshDreamMapper:
             routing = decode_routing(out.route_words, n, self.B)
             if drains == 0:          # drain passes re-route the SAME pairs:
                 diag["routed"] += int(routing.sum())   # count each pair once
+                self._observe_demand(out, r_cap)   # cap auto-tuner input
             leftover = self._process_out(batch, out, routing, n, half_loc,
                                          r_cap, n_pad, parts, timers, diag,
                                          count_ovf=(drains == 0))

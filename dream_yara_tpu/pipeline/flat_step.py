@@ -63,7 +63,8 @@ def flat_map_step(fmset: DeviceFMSet, reads2: jnp.ndarray, lengths2: jnp.ndarray
                   capacity: int, max_slen: int, prefix_q: int,
                   compact_cap: int | None, uniform_len: bool,
                   sample_rate: int = 1, use_pallas: bool = False,
-                  stop_after: str | None = None) -> MapStepOut:
+                  stop_after: str | None = None,
+                  cap2l: float | None = None) -> MapStepOut:
     """Map every slot against its own bin in one fused program.
 
     fmset: stacked per-bin tables (this device's LOCAL bins, axis 0);
@@ -122,14 +123,15 @@ def flat_map_step(fmset: DeviceFMSet, reads2: jnp.ndarray, lengths2: jnp.ndarray
                       max_errors, capacity, max_slen, compact_cap, prefix_q,
                       uniform_len, hooks, n_seed, counts_fetch, tb_flat, ntb,
                       sample_rate, bin_seed, fused_flat, counts_flat, nb1,
-                      nsig, use_pallas, stop_after)
+                      nsig, use_pallas, stop_after, cap2l)
 
 
 def _flat_core(fmset, reads, lengths, bin_slot, rate_ppm, max_errors,
                capacity, max_slen, compact_cap, prefix_q, uniform_len,
                hooks, n_seed, counts_fetch, tb_flat, ntb,
                sample_rate, bin_seed, fused_flat, counts_flat, nb1,
-               nsig, use_pallas=False, stop_after=None) -> MapStepOut:
+               nsig, use_pallas=False, stop_after=None,
+               cap2l: float | None = None) -> MapStepOut:
     """Mirror of map_step._map_step_core with per-seed bins (full SA only).
 
     stop_after: profiling-only early return ('search' | 'locate' | 'compact')
@@ -179,10 +181,12 @@ def _flat_core(fmset, reads, lengths, bin_slot, rate_ppm, max_errors,
 
         from .map_step import flat_cumsum
         S = lo.shape[0]
-        cap2l = float(_os.environ.get("DY_CAP2L", "4.0"))
+        if cap2l is None:
+            cap2l = float(_os.environ.get("DY_CAP2L", "4.0"))
         loc_cap = max(8, int(cap2l * (R2 // 2)))
         cnt = jnp.clip(hi - lo, 0, capacity).astype(jnp.int32)
         incl = flat_cumsum(cnt)
+        loc_need = incl[-1] if S > 0 else jnp.int32(0)
         off = incl - cnt
         overflow = overflow + (incl > loc_cap).astype(overflow.dtype)
         dst = jnp.where((cnt > 0) & (off < loc_cap), off, loc_cap)
@@ -228,6 +232,7 @@ def _flat_core(fmset, reads, lengths, bin_slot, rate_ppm, max_errors,
         lane_pos = off[:, None] + jnp.arange(capacity, dtype=jnp.int32)[None, :]
         hmask = hmask & (lane_pos < loc_cap)
     else:
+        loc_need = jnp.int32(0)
         pos, hmask, overflow = gather_hits(None, lo, hi, capacity,
                                            sa_row_fetch=hooks.sa_rows,
                                            n_sa_rows=hooks.n_sa_rows)
@@ -296,4 +301,9 @@ def _flat_core(fmset, reads, lengths, bin_slot, rate_ppm, max_errors,
                       seed_lo=lo, seed_hi=hi, overflow=overflow,
                       m_start=m_start,
                       overflow_total=overflow.sum(dtype=jnp.int32),
-                      n_spilled=n_spilled)
+                      n_spilled=n_spilled,
+                      # true demands for the host cap auto-tuner: verify
+                      # lanes wanted = used (keep) + spilled; locate lanes
+                      # wanted = unclipped cumsum total
+                      v_need=n_spilled + keep.sum(dtype=jnp.int32),
+                      loc_need=loc_need)

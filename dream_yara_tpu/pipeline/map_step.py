@@ -55,6 +55,11 @@ class MapStepOut(NamedTuple):
     n_spilled: jnp.ndarray     # () int32 candidates dropped by per-row
                                # compaction; > 0 => host re-runs the chunk
                                # densely to preserve completeness
+    # true (unclipped) lane DEMANDS, for the host cap auto-tuner
+    # (dream_mesh): verify lanes wanted by global_compact and locate lanes
+    # wanted by the sampled-SA walk. 0 where the path did not run.
+    v_need: jnp.ndarray = 0    # () int32
+    loc_need: jnp.ndarray = 0  # () int32
 
 
 def max_seed_len_static(max_len: int, rate_ppm: int) -> int:

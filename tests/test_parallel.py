@@ -490,3 +490,32 @@ def test_mesh_minimizer_calibrated_identical(db_and_reads):
     found = set(zip(m.read_id.tolist(), m.strand.tolist(), m.begin.tolist()))
     for rid, (b, p, strand) in enumerate(truth):
         assert (rid, strand, int(starts[b]) + p) in found, f"read {rid}"
+
+
+def test_cap_autotune_identical(monkeypatch):
+    """Locate/verify cap auto-tuning: after the first batch the mesh step
+    rebuilds with caps shrunk to observed demand (margin + quantum), and
+    later batches stay byte-identical to the single-device pipeline."""
+    monkeypatch.delenv("DY_CAP2L", raising=False)
+    monkeypatch.delenv("DY_CAP2V", raising=False)
+    rng = np.random.default_rng(91)
+    B = 4
+    genomes = [random_text(rng, 4000) for _ in range(B)]
+    stores = [SeqStore.from_seqs([f"g{b}"], [genomes[b]]) for b in range(B)]
+    fms = [FMIndex.build(st.text, sample_rate=4) for st in stores]
+    index = DreamIndex(stores, fms, None, "none")
+    opts = MapperOptions(error_rate=0.03)
+    mapper = MeshDreamMapper(index, opts, n_devices=8, lean=True)
+    assert mapper._caps() == (4.0, 1.25)          # defaults pre-observation
+    b1, _ = _planted(rng, genomes, n_per_bin=6)
+    b2, _ = _planted(rng, genomes, n_per_bin=6)
+    assert mesh_dream_sam(mapper, b1) == dream_map_sam(index, b1, opts)
+    cap2l, cap2v = mapper._caps()
+    assert cap2l <= 4.0 and cap2v <= 1.25
+    assert mapper._seen_loc_f is not None and mapper._seen_loc_f > 0
+    # tuned caps respect margin * observed demand
+    assert cap2l >= mapper._seen_loc_f * mapper._MARGIN_L - mapper._Q
+    assert mesh_dream_sam(mapper, b2) == dream_map_sam(index, b2, opts)
+    # a fixed env knob pins the cap (tuning disabled for that knob)
+    monkeypatch.setenv("DY_CAP2L", "3.5")
+    assert mapper._caps()[0] == 3.5

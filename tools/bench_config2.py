@@ -68,6 +68,13 @@ def build_or_load():
                                             n_hashes=3, k=19, window=window)
         for b, g in enumerate(genomes):
             ibf.add_kmers(g, b)
+        if window > 19:
+            # calibrated slack table (device counting semantics) — without
+            # it the 2D heuristic collapses the threshold at 150bp e=4
+            # and every read routes to every bin (the round-3 retirement)
+            ibf.calibrate(e_max=8, trials=4000, q=1e-4, read_lens=(150,))
+            print(f"[c2] slack table: {ibf.slack_table.tolist()}",
+                  file=sys.stderr)
         ibf.save(CACHE / name)
     print(f"[c2] db ready: {time.time() - t0:.1f}s", file=sys.stderr)
     return genomes, DreamIndex(stores, fms, ibf, "bloom")

@@ -30,6 +30,11 @@ BIN_BP = 32_000_000
 # sampled-SA rate: 16 fits HBM comfortably; 8 halves the locate LF walk
 # (the top device stage post-compaction) for ~+0.5 GiB residency
 RATE = int(os.environ.get("DY_C3_RATE", "8"))
+# minimizer window (0/19 = all k-mers). w=24 selects ~2/7 of the k-mers
+# (2.3x fewer classify row gathers — the measured stage wall) while the
+# CALIBRATED slack table keeps the routing threshold at ~4 of ~24
+# minimizers at e=3 (w=26 collapses to 1 — index/minimizer_calib.py)
+WINDOW = int(os.environ.get("DY_C3_WINDOW", "0"))
 READ_LEN = 100
 CACHE = Path(__file__).parent.parent / ".bench_cache" / "config3"
 
@@ -76,13 +81,16 @@ def build_or_load(jobs: int = 4):
     stores = [SeqStore.load(CACHE / f"{b:04d}.store.npz") for b in range(BINS)]
     fms = [FMIndex.load(_fm_path(b)) for b in range(BINS)]
 
-    fpth = CACHE / "filter.npz"
+    fpth = CACHE / ("filter.npz" if WINDOW <= 19 else f"filter_w{WINDOW}.npz")
     if fpth.exists():
         filt = InterleavedBloomFilter.load(fpth)
     else:
-        # ~12 bits per canonical k-mer per bin; 64 bins -> bins_padded 64
+        # ~12 bits per INSERTED canonical k-mer per bin (winnowing selects
+        # ~2/(w-k+2) of them, shrinking the filter the same factor);
+        # 64 bins -> bins_padded 64
+        n_ins = (2 * BIN_BP // (WINDOW - 19 + 2) if WINDOW > 19 else BIN_BP)
         filt = InterleavedBloomFilter.create(
-            BINS, size_bits=12 * BIN_BP * 64, n_hashes=3, k=19)
+            BINS, size_bits=12 * n_ins * 64, n_hashes=3, k=19, window=WINDOW)
         tF = time.time()
         from concurrent.futures import ThreadPoolExecutor
 
@@ -94,8 +102,15 @@ def build_or_load(jobs: int = 4):
             for b in ex.map(insert, range(BINS)):
                 if b % 16 == 15:
                     print(f"[c3] filter: {b + 1}/{BINS} bins", file=sys.stderr)
+        if WINDOW > 19:
+            # q=1e-4 with 4000 trials = observed-max slack: the benchmark
+            # claims mapped_frac, so spend a tick of selectivity on safety
+            filt.calibrate(e_max=6, trials=4000, q=1e-4, read_lens=(100,))
+            print(f"[c3] slack table: {filt.slack_table.tolist()}",
+                  file=sys.stderr)
         filt.save(fpth)
-        print(f"[c3] filter built in {time.time() - tF:.0f}s", file=sys.stderr)
+        print(f"[c3] filter built in {time.time() - tF:.0f}s "
+              f"({filt.words.nbytes >> 20} MiB)", file=sys.stderr)
     print(f"[c3] db ready: {BINS} x {BIN_BP/1e6:.0f} Mbp "
           f"(blocked={filt.blocked}) in {time.time() - t0:.0f}s",
           file=sys.stderr)

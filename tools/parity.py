@@ -13,6 +13,12 @@ Builds identical toy config-1 (single bin SE) and config-2-style (4 bins
 PE) databases, runs both pipelines, and reports per-field SAM diffs
 (QNAME/FLAG/RNAME/POS/MAPQ/CIGAR sorted canonically so record order
 differences don't mask real divergences).
+
+Audit order for divergences: docs/OUTPUT_CONTRACT.md "Round-5 addendum"
+tabulates every self-defined [U] convention (MAPQ ladder, tie-break keys,
+XA/secondary formats, TLEN rules, ...) sorted by blast radius — fix rows
+1-3 there first; a MAPQ or ordering mismatch invalidates most downstream
+field comparisons.
 """
 
 from __future__ import annotations
