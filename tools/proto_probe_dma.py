@@ -44,6 +44,23 @@ sys.path.insert(0, str(Path(__file__).parent.parent))
 TILE_Q = 2048
 
 
+def _bind_jax():
+    """Bind jax/pallas module globals lazily, honoring DY_PLATFORM BEFORE
+    the first jax import (the round-4 layout bound them only inside main(),
+    so importing this module and calling the gather directly raised
+    NameError)."""
+    global jax, jnp, pl, pltpu
+    if "jax" in globals():
+        return
+    if os.environ.get("DY_PLATFORM"):
+        os.environ.setdefault("JAX_PLATFORMS", os.environ["DY_PLATFORM"])
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    globals().update(jax=jax, jnp=jnp, pl=pl, pltpu=pltpu)
+
+
 def _ring_kernel(nbuf, idx_ref, tab_ref, out_ref, sems):
     def cp(i):
         return pltpu.make_async_copy(
@@ -54,7 +71,9 @@ def _ring_kernel(nbuf, idx_ref, tab_ref, out_ref, sems):
         cp(s).start()
 
     U = 8                                      # scalar-core issue rate is the
-    assert (TILE_Q - nbuf) % U == 0            # wall: unroll the loop body
+                                               # wall: unroll the loop body
+                                               # (nbuf validated in
+                                               # gather_rows_ring)
 
     def body(g, _):
         for u in range(U):
@@ -74,6 +93,11 @@ def _ring_kernel(nbuf, idx_ref, tab_ref, out_ref, sems):
 
 def gather_rows_ring(tab, idx2, nbuf=32, interpret=False):
     """tab: (n_blocks, 128) uint32 in HBM; idx2: (n_tiles, 1, TILE_Q)."""
+    _bind_jax()
+    if (TILE_Q - nbuf) % 8 != 0:
+        raise ValueError(
+            f"nbuf must be a multiple of 8 (the kernel's unroll factor "
+            f"divides TILE_Q - nbuf = {TILE_Q} - {nbuf}); got nbuf={nbuf}")
     n_tiles = idx2.shape[0]
     W = tab.shape[1]
     return pl.pallas_call(
@@ -90,13 +114,7 @@ def gather_rows_ring(tab, idx2, nbuf=32, interpret=False):
 
 
 def main():
-    global jax, jnp, pl, pltpu
-    if os.environ.get("DY_PLATFORM"):
-        os.environ.setdefault("JAX_PLATFORMS", os.environ["DY_PLATFORM"])
-    import jax
-    import jax.numpy as jnp
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
+    _bind_jax()
 
     jax.config.update("jax_compilation_cache_dir",
                       str(Path(__file__).parent.parent / ".jax_cache"))
