@@ -129,14 +129,15 @@ def main():
 
     rng = np.random.default_rng(7)
     print(f"[c2] devices: {jax.devices()}", file=sys.stderr)
-    t0 = time.time()
-    warm = make_pairs(genomes, index.stores, 2048, rng)
-    from dream_yara_tpu.pipeline.dis_mapper import dream_map_sam
-    dream_map_sam(index, warm, opts, header=False)
-    print(f"[c2] warmup: {time.time() - t0:.1f}s", file=sys.stderr)
-
     batches = [make_pairs(genomes, index.stores, batch_pairs, rng)
                for _ in range(n_pairs // batch_pairs)]
+    # warm at the PRODUCTION batch shape: a toy-shape warmup leaves the
+    # 125k-pair compiles inside the first timed pass (the round-4 bench.py
+    # steady-state lesson, VERDICT weak #1)
+    from dream_yara_tpu.pipeline.dis_mapper import dream_map_sam
+    t0 = time.time()
+    dream_map_sam(index, batches[0], opts, header=False)
+    print(f"[c2] warmup: {time.time() - t0:.1f}s", file=sys.stderr)
     timers = StageTimers()
     stats: dict = {}
     t0 = time.time()
