@@ -298,7 +298,8 @@ class MultiHostDreamMapper:
                 begin=P("bin", "data"), end=P("bin", "data"),
                 meta=P("bin", "data"), overflow_total=P("bin", "data"),
                 n_spilled=P("bin", "data"), route_overflow=P("bin", "data"),
-                route_words=P("data"), ovf_rows=P("bin", "data"))
+                route_words=P("data"), ovf_rows=P("bin", "data"),
+                v_need=P("bin", "data"), loc_need=P("bin", "data"))
             out = MeshMapOut(*(np.asarray(
                 mh.global_array_to_host_local_array(x, self.mesh, sp))
                 for x, sp in zip(out, specs)))
