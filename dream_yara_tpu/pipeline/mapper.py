@@ -154,18 +154,23 @@ class BinMapper:
                 out = unbundle_out(bundle, s_lo, s_hi, ovf, m_st,
                                    L, max_err, chunk_rows)
             if int(out.n_spilled) > 0:
-                # compaction spilled: redo this chunk verifying every slot
+                # compaction spilled: redo this chunk verifying every slot,
+                # in BOUNDED sub-chunks — verify_capacity=None lights up
+                # R2*ns*capacity lanes, and at the 131k-row chunk shape on a
+                # multi-10-Mbp bin that compiled to 15.8 GB of HBM (found by
+                # the round-5 repeat-rich bench). Matches replace the
+                # compacted (incomplete) set; the seed/overflow arrays of
+                # the compacted run stay valid (the seed stage is identical
+                # per read and chunking-independent).
                 with self.timers.stage("dense re-verify (device)"):
-                    bundle, s_lo, s_hi, ovf, m_st = single_bin_map_step_packed(
-                        self.dev, dev_in, half=half, L=L, verify_capacity=None,
-                        **step_kw)
-                    out = unbundle_out(np.asarray(bundle), s_lo, s_hi, ovf,
-                                   m_st, L, max_err, chunk_rows)
-            with self.timers.stage("collect matches (host)"):
-                m = build_matches(out.row, out.begin, out.end, out.dist, out.ok,
-                                  n_reads=half)
-                m = self._remap_chunk(m, ids, half, n)
-                parts.append(m)
+                    parts.extend(self._dense_reverify(
+                        batch, ids, n, L, max_err, step_kw))
+            else:
+                with self.timers.stage("collect matches (host)"):
+                    m = build_matches(out.row, out.begin, out.end, out.dist,
+                                      out.ok, n_reads=half)
+                    m = self._remap_chunk(m, ids, half, n)
+                    parts.append(m)
 
             if int(out.overflow_total) > 0 and self.opts.sensitivity != "low":
                 # sensitivity low: capacity-capped hits only — overflowing
@@ -192,6 +197,38 @@ class BinMapper:
         # NOTE: dedup happens in map_single_bin AFTER the cross-contig filter,
         # so a dropped boundary-crossing match can never shadow a real one.
         return Matches.concat(parts)
+
+    DENSE_HALF = 8192  # dense re-verify sub-chunk reads: 2*8192*ns*capacity
+                       # lanes ~= 0.5M keeps the all-slots program's HBM
+                       # footprint bounded regardless of the batch chunking
+
+    def _dense_reverify(self, batch, ids, n, L, max_err, step_kw):
+        """Re-map the chunk's reads with every slot verified (no compaction),
+        in fixed-size sub-chunks. Output is identical to a whole-chunk dense
+        pass: seeding, per-row dedup and verification are all row-local."""
+        from ..ops.readpack import pack_blob_with_lengths
+        from .map_step import single_bin_map_step_packed, unbundle_out
+
+        sub_half = self.DENSE_HALF
+        parts = []
+        for s0 in range(0, len(ids), sub_half):
+            sids = ids[s0 : s0 + sub_half]
+            lens_s = np.zeros(sub_half, dtype=np.int32)
+            lens_s[: len(sids)] = batch.lengths[sids]
+            blob = jnp.asarray(pack_blob_with_lengths(
+                batch.seqs[sids], lens_s, sub_half, L))
+            bundle, s_lo, s_hi, ovf, m_st = single_bin_map_step_packed(
+                self.dev, blob, half=sub_half, L=L, verify_capacity=None,
+                **step_kw)
+            o = unbundle_out(np.asarray(bundle), s_lo, s_hi, ovf, m_st,
+                             L, max_err, 2 * sub_half)
+            m = build_matches(o.row, o.begin, o.end, o.dist, o.ok,
+                              n_reads=sub_half)
+            keep = m.read_id < len(sids)
+            m = m.take(keep)
+            m.read_id = sids[m.read_id].astype(np.int32)
+            parts.append(m)
+        return parts
 
     def _remap_chunk(self, m: Matches, ids: np.ndarray, half: int, n: int) -> Matches:
         """Chunk-local read ids/strands -> batch ids."""

@@ -179,3 +179,38 @@ def test_strata_count_matches_golden(strata):
         assert got == want, rid
         assert int(ranked.c1[rid]) == golden[rid].c1
         assert int(ranked.c2[rid]) == golden[rid].c2
+
+
+def test_dense_reverify_subchunks(monkeypatch):
+    """Compaction spill -> dense re-verify path: the all-slots program now
+    runs in bounded sub-chunks (the whole-chunk variant compiled to 15.8 GB
+    HBM at 131k-row shapes on multi-10-Mbp bins — round-5 repeat-rich
+    bench). Force a spill with tandem-repeat reads and a tiny sub-chunk
+    size, and require the exact same matches as the default path."""
+    import dream_yara_tpu.pipeline.mapper as mapper_mod
+    from dream_yara_tpu.pipeline.mapper import BinMapper
+
+    rng = np.random.default_rng(123)
+    unit = rng.integers(0, 4, 50).astype(np.int8)
+    genome = np.concatenate([np.tile(unit, 50),
+                             rng.integers(0, 4, 3000).astype(np.int8)])
+    store = SeqStore.from_seqs(["tand"], [genome])
+    fm = FMIndex.build(store.text)
+    reads = [np.tile(unit, 3)[:100].copy() for _ in range(700)]
+    reads += [genome[i * 3 : i * 3 + 100].copy() for i in range(300)]
+    batch = ReadBatch.from_reads([f"r{i}" for i in range(len(reads))], reads)
+    opts = MapperOptions(error_rate=0.03, sensitivity="full")
+
+    bm = BinMapper(store, fm, opts)
+    m_ref = bm.map_batch(batch)
+    assert bm.timers.totals.get("dense re-verify (device)", 0) > 0, \
+        "workload must actually spill the verify compaction"
+
+    monkeypatch.setattr(mapper_mod.BinMapper, "DENSE_HALF", 256)
+    bm2 = BinMapper(store, fm, opts)
+    m_sub = bm2.map_batch(batch)
+    assert bm2.timers.totals.get("dense re-verify (device)", 0) > 0
+    key = lambda m: sorted(zip(m.read_id.tolist(), m.strand.tolist(),
+                               m.begin.tolist(), m.end.tolist(),
+                               m.dist.tolist()))
+    assert key(m_sub) == key(m_ref)

@@ -28,7 +28,11 @@ import numpy as np
 
 sys.path.insert(0, str(Path(__file__).parent.parent))
 
-GENOME_LEN = 64_000_000
+# 32 Mbp: the 64 Mbp variant compiled to 15.87G of 15.75G HBM on the
+# single-chip full-table path (single-bin map step + repetitive strata
+# buffers) — the A/B is about the repetitive-stage backends, which scale
+# with the read mix, not the genome
+GENOME_LEN = 32_000_000
 READ_LEN = 100
 CACHE = Path(__file__).parent.parent / ".bench_cache" / "bidir_ab"
 
@@ -100,7 +104,7 @@ def main():
     rng = np.random.default_rng(7)
     reads, truth = sample_reads(rng, np.asarray(st.text[:-1]), n_reads,
                                 read_len=READ_LEN, n_sub=2, regions=regions)
-    batch_n = 50_000
+    batch_n = 25_000
     batches = []
     for i in range(0, n_reads, batch_n):
         sub = reads[i : i + batch_n]
@@ -110,7 +114,14 @@ def main():
     print(f"[bidir-ab] devices: {jax.devices()}", file=sys.stderr)
 
     results = {}
-    for mode in ("enum", "bidir"):
+    # 2x2: backend x indels. With -i on (the product default) the 1-edit
+    # stratum keeps enumeration (search schemes are substitution-only) and
+    # bidir only accelerates stratum 2; with -i off both strata are
+    # bidir-eligible. The indels-on/off delta of the repetitive stage is
+    # also the measured indel-stratum share the round-4 verdict asked for.
+    for mode, indels in (("enum", True), ("bidir", True),
+                         ("enum", False), ("bidir", False)):
+        opts = MapperOptions(error_rate=0.03, indels=indels)
         os.environ["DY_SEED_BACKEND"] = mode
         index = DreamIndex([st], [fm], None, "none",
                            rfused={0: rfused} if mode == "bidir" else {})
@@ -138,20 +149,26 @@ def main():
                   f"{stats.get('mapped')}/{stats.get('reads')}",
                   file=sys.stderr)
         med = sorted(dts)[len(dts) // 2]
-        results[mode] = {
+        results[f"{mode}{'_i' if indels else ''}"] = {
             "reads_per_s": round(n_reads / med, 1),
             "pass_s": [round(x, 2) for x in dts],
             "repetitive_stage_s_median": round(sorted(rep_s)[len(rep_s) // 2], 2),
             "mapped": stats.get("mapped"),
         }
     os.environ.pop("DY_SEED_BACKEND", None)
-    speedup = (results["bidir"]["reads_per_s"]
-               / max(results["enum"]["reads_per_s"], 1e-9))
     print(json.dumps({
         "metric": "bidir-vs-enum repeat-rich reads/s/chip",
         "genome_bp": GENOME_LEN, "n_reads": n_reads,
-        "enum": results["enum"], "bidir": results["bidir"],
-        "bidir_speedup_end_to_end": round(speedup, 3),
+        **results,
+        "bidir_speedup_indels_on": round(
+            results["bidir_i"]["reads_per_s"]
+            / max(results["enum_i"]["reads_per_s"], 1e-9), 3),
+        "bidir_speedup_hamming": round(
+            results["bidir"]["reads_per_s"]
+            / max(results["enum"]["reads_per_s"], 1e-9), 3),
+        "indel_stratum_extra_s": round(
+            results["enum_i"]["repetitive_stage_s_median"]
+            - results["enum"]["repetitive_stage_s_median"], 2),
     }))
 
 
