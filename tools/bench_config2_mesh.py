@@ -58,6 +58,12 @@ def main():
     warm = make_pairs(genomes, index.stores, batch_pairs, rng)
     mesh_dream_sam(mapper, warm, header=False)
     print(f"[c2m] warmup: {time.time() - t0:.1f}s", file=sys.stderr)
+    # second warm batch absorbs the cap auto-tuner's tuned-shape compile
+    # (it engages only after the first batch's observed demands)
+    t0 = time.time()
+    mesh_dream_sam(mapper, warm, header=False)
+    print(f"[c2m] warmup(tuned caps): {time.time() - t0:.1f}s",
+          file=sys.stderr)
 
     batches = [make_pairs(genomes, index.stores, batch_pairs, rng)
                for _ in range(n_pairs // batch_pairs)]

@@ -191,6 +191,12 @@ def main():
     t0 = time.time()
     _ = b"".join(mesh_dream_stream(mapper, iter(batches[:1]), timers=timers))
     print(f"[c3] warmup(compile): {time.time() - t0:.1f}s", file=sys.stderr)
+    # second warm batch: the cap auto-tuner engages AFTER the first batch's
+    # demands are observed, so the tuned-shape compile must land here, not
+    # in timed pass 0 (which it cost 42k-vs-89k in the round-5 10M run)
+    t0 = time.time()
+    _ = b"".join(mesh_dream_stream(mapper, iter(batches[:1]), timers=timers))
+    print(f"[c3] warmup(tuned caps): {time.time() - t0:.1f}s", file=sys.stderr)
 
     # median of N timed passes (tunnel noise +-25%, BASELINE.md)
     passes = int(args[1]) if len(args) > 1 else 3

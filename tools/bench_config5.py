@@ -123,6 +123,10 @@ def main():
     next(iter(mesh_dream_stream(mapper, [warm])))
     print(f"[c5] warmup: {time.time()-t0:.1f}s  diag={mapper.fallback_diag}",
           file=sys.stderr)
+    # second warm batch absorbs the cap auto-tuner's tuned-shape compile
+    t0 = time.time()
+    next(iter(mesh_dream_stream(mapper, [warm])))
+    print(f"[c5] warmup(tuned caps): {time.time()-t0:.1f}s", file=sys.stderr)
 
     batches = [make_batch(genomes, batch_reads, rng)
                for _ in range(max(1, n_reads // batch_reads))]
