@@ -95,6 +95,16 @@ def main(argv=None):
                 print(f"[build-filter] bin {b}: {len(seqs)} contigs",
                       file=sys.stderr)
 
+    if a.window_size > a.kmer_size and (a.filter_type != "bloom"
+                                        or a.calib_trials <= 0):
+        # without a calibrated table the routing threshold falls back to
+        # the 2D heuristic, which collapses past ~1-2 errors per read and
+        # routes every read to every bin (docs/OUTPUT_CONTRACT.md)
+        print(f"[build-filter] WARNING: minimizer mode (-w {a.window_size}) "
+              f"without slack-table calibration uses the loose 2D-heuristic "
+              f"threshold, which collapses at >=2 errors per read and "
+              f"degrades routing to every-bin; pass --calib-trials > 0 "
+              f"(bloom only) or use -w 0", file=sys.stderr)
     if a.filter_type == "bloom" and a.window_size > a.kmer_size \
             and a.calib_trials > 0:
         # calibrate the minimizer routing slack with device counting

@@ -246,7 +246,10 @@ class MeshDreamMapper:
             routing = decode_routing(out.route_words, n, self.B)
             if drains == 0:          # drain passes re-route the SAME pairs:
                 diag["routed"] += int(routing.sum())   # count each pair once
-                self._observe_demand(out, r_cap)   # cap auto-tuner input
+            # cap auto-tuner input: observe EVERY pass (drain passes too —
+            # a drain whose demand chronically exceeded a tuned cap would
+            # otherwise spill forever without the monotone growth)
+            self._observe_demand(out, r_cap)
             leftover = self._process_out(batch, out, routing, n, half_loc,
                                          r_cap, n_pad, parts, timers, diag,
                                          count_ovf=(drains == 0))

@@ -224,10 +224,7 @@ class BinMapper:
                              L, max_err, 2 * sub_half)
             m = build_matches(o.row, o.begin, o.end, o.dist, o.ok,
                               n_reads=sub_half)
-            keep = m.read_id < len(sids)
-            m = m.take(keep)
-            m.read_id = sids[m.read_id].astype(np.int32)
-            parts.append(m)
+            parts.append(self._remap_chunk(m, sids, sub_half, n))
         return parts
 
     def _remap_chunk(self, m: Matches, ids: np.ndarray, half: int, n: int) -> Matches:

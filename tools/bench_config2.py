@@ -63,6 +63,14 @@ def build_or_load():
     ip = CACHE / f"{name}.npz"
     if ip.exists():
         ibf = InterleavedBloomFilter.load(CACHE / name)
+        if ibf.window > ibf.k and ibf.slack_table is None:
+            # stale pre-calibration cache artifact: without the table the
+            # heuristic threshold collapses and the A/B measures the
+            # retired mode — recalibrate in place (insertions unchanged)
+            ibf.calibrate(e_max=8, trials=4000, q=1e-4, read_lens=(150,))
+            ibf.save(CACHE / name)
+            print(f"[c2] recalibrated stale minimizer artifact: "
+                  f"{ibf.slack_table.tolist()}", file=sys.stderr)
     else:
         ibf = InterleavedBloomFilter.create(BINS, size_bits=1 << 31,
                                             n_hashes=3, k=19, window=window)

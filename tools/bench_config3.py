@@ -84,6 +84,13 @@ def build_or_load(jobs: int = 4):
     fpth = CACHE / ("filter.npz" if WINDOW <= 19 else f"filter_w{WINDOW}.npz")
     if fpth.exists():
         filt = InterleavedBloomFilter.load(fpth)
+        if filt.window > filt.k and filt.slack_table is None:
+            # stale pre-calibration cache: recalibrate in place so the A/B
+            # never silently measures the collapsed-heuristic mode
+            filt.calibrate(e_max=6, trials=4000, q=1e-4, read_lens=(100,))
+            filt.save(fpth)
+            print(f"[c3] recalibrated stale minimizer artifact: "
+                  f"{filt.slack_table.tolist()}", file=sys.stderr)
     else:
         # ~12 bits per INSERTED canonical k-mer per bin (winnowing selects
         # ~2/(w-k+2) of them, shrinking the filter the same factor);
